@@ -1,0 +1,116 @@
+"""Horn-method 3x3 focal kernels: slope, aspect, hillshade — vectorized NumPy.
+
+These are the engine's re-implementation of the reference's CUDA kernels
+(BASELINE.json:6: "slope, aspect, hillshade via 3x3 moving-window kernels";
+[ref?: embedded CUDA-C strings in gpuCalc.py]). The math is the public
+Horn (1981) method that ``gdaldem`` implements — the reference's own golden
+tests compare against gdaldem output (B:6), so gdaldem-compatible formulas
+are the spec. Used both by the Spark operator (inside mapInPandas batches)
+and by the whole-grid NumPy oracle in tests — a single source of truth.
+
+Window layout over grid ``g`` (rows increase downward / southward):
+
+        a b c
+        d e f
+        g h i
+
+    dzdx = ((c + 2f + i) - (a + 2d + g)) / (8 * cellsize)
+    dzdy = ((g + 2h + i) - (a + 2b + c)) / (8 * cellsize)
+
+Edge & NODATA policy (SURVEY.md §2.2 ops 8-9, pinned by the oracle tests):
+the grid is conceptually padded with one NODATA ring, and any 3x3 window
+containing NODATA produces NODATA — so the outermost ring of the output is
+always NODATA and NODATA islands dilate by one cell, matching the
+propagating-sentinel behavior of gdaldem's default (no -compute_edges).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+NODATA = -9999.0
+FLAT_ASPECT = -1.0  # gdaldem flat-cell convention
+DEFAULT_AZIMUTH_DEG = 315.0
+DEFAULT_ALTITUDE_DEG = 45.0
+
+
+def _padded(grid: np.ndarray, halo_top: np.ndarray | None, halo_bot: np.ndarray | None) -> np.ndarray:
+    """Assemble (h+2, w+2) float64 working grid: vertical halos (from the
+    neighbor tiles, or NODATA at image edges) + NODATA columns left/right."""
+    h, w = grid.shape
+    out = np.full((h + 2, w + 2), NODATA, dtype=np.float64)
+    out[1:-1, 1:-1] = grid
+    if halo_top is not None:
+        out[0, 1:-1] = halo_top
+    if halo_bot is not None:
+        out[-1, 1:-1] = halo_bot
+    return out
+
+
+def horn_products(
+    grid: np.ndarray,
+    cellsize: float,
+    halo_top: np.ndarray | None = None,
+    halo_bot: np.ndarray | None = None,
+    azimuth_deg: float = DEFAULT_AZIMUTH_DEG,
+    altitude_deg: float = DEFAULT_ALTITUDE_DEG,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Compute (slope_deg, aspect_deg, hillshade) for an (h, w) float grid.
+
+    One pass computes all three products — the Spark analogue of the
+    reference's one-input-pass/many-outputs scheduler fan-out
+    ([ref?: scheduler.py (output, func) pairs]); sharing dzdx/dzdy beats
+    re-running the stencil per product.
+
+    ``halo_top``/``halo_bot`` are the boundary rows of the adjacent tiles
+    (the halo-row exchange of B:6); None means true image edge.
+    Returns float32 arrays shaped like ``grid``; NODATA propagates.
+    """
+    g = _padded(np.asarray(grid, dtype=np.float64), halo_top, halo_bot)
+    nd = g == NODATA
+
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+
+    bad = (
+        nd[:-2, :-2] | nd[:-2, 1:-1] | nd[:-2, 2:]
+        | nd[1:-1, :-2] | nd[1:-1, 1:-1] | nd[1:-1, 2:]
+        | nd[2:, :-2] | nd[2:, 1:-1] | nd[2:, 2:]
+    )
+
+    dzdx = ((c + 2.0 * f + ii) - (a + 2.0 * d + gg)) / (8.0 * cellsize)
+    dzdy = ((gg + 2.0 * hh + ii) - (a + 2.0 * b + c)) / (8.0 * cellsize)
+
+    slope_rad = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    slope = np.degrees(slope_rad)
+
+    # aspect: compass degrees clockwise from north, flat -> -1
+    flat = (dzdx == 0.0) & (dzdy == 0.0)
+    asp_math = np.degrees(np.arctan2(dzdy, -dzdx))  # CCW from +x
+    aspect = np.mod(90.0 - asp_math, 360.0)
+    aspect = np.where(flat, FLAT_ASPECT, aspect)
+
+    # hillshade: 0..255, azimuth/altitude defaults = gdaldem defaults
+    zen = np.radians(90.0 - altitude_deg)
+    az = np.radians(azimuth_deg)
+    asp_rad = np.radians(np.where(flat, 0.0, aspect))
+    hs = 255.0 * (
+        np.cos(zen) * np.cos(slope_rad)
+        + np.sin(zen) * np.sin(slope_rad) * np.cos(az - asp_rad)
+    )
+    hillshade = np.rint(np.clip(hs, 0.0, 255.0))
+
+    slope = np.where(bad, NODATA, slope).astype(np.float32)
+    aspect = np.where(bad, NODATA, aspect).astype(np.float32)
+    hillshade = np.where(bad, NODATA, hillshade).astype(np.float32)
+    return slope, aspect, hillshade
+
+
+def oracle_whole_grid(grid: np.ndarray, cellsize: float) -> dict[str, np.ndarray]:
+    """Whole-grid (untiled) golden oracle — plays the role GDAL played for
+    the reference's comparison tests (B:6; GDAL absent in sandbox). The
+    tiled engine output must match this exactly: that is the
+    halo-correctness gate (SURVEY.md §5.1-5.2)."""
+    s, a, h = horn_products(grid, cellsize)
+    return {"slope": s, "aspect": a, "hillshade": h}

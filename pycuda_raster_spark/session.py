@@ -1,0 +1,62 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Mirrors the reference's single fixed pipeline configuration
+([ref?: scheduler.py] — process/pipe sizing) with Spark-native knobs:
+AQE on (runtime re-plan + skew-join splitting), Arrow on (all our UDFs are
+Arrow-vectorized per BASELINE.json:15), shuffle partitions sized to cores
+(not the 200 default), UTC timezone pinned for DuckDB oracle comparison.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Arrow batch size is the analogue of the reference's GPU chunk size
+# ([ref?: gpuCalc.py block sizing]): how many image/tile rows flow through a
+# Python worker per batch. Pixel payloads are large; keep batches modest.
+ARROW_BATCH_ROWS = 64
+
+
+def get_spark(
+    app_name: str = "pycuda_raster_spark",
+    cores: int | str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict | None = None,
+) -> SparkSession:
+    """Build (or reuse) the engine SparkSession.
+
+    ``cores`` accepts an int (→ local[n]) or a full master string. Defaults
+    to ``$SPARK_GRAFT_CPUS`` (driver convention) or ``local[*]``.
+    """
+    if cores is None:
+        cores = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = cores if isinstance(cores, str) and cores.startswith(("local", "spark")) else f"local[{cores}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        try:
+            n = int(str(cores))
+        except (TypeError, ValueError):
+            pass
+        shuffle_partitions = max(8, n)
+
+    b = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.parquet.compression.codec", "zstd")
+    )
+    for k, v in (extra_conf or {}).items():
+        b = b.config(k, v)
+    spark = b.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
