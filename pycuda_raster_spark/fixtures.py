@@ -147,7 +147,7 @@ def build_points(n_points: int = 2000, res: int = 6) -> list[dict]:
     # 3 hot clusters -> skewed cells
     for c in range(3):
         ccx, ccy = rng.uniform(WORLD * 0.05, WORLD * 0.3, size=2)
-        m = (n_points - n_u) // 3
+        m = (n_points - n_u) // 3 + (n_points - n_u) % 3 * (c == 2)
         xs += list(np.clip(rng.normal(ccx, WORLD * 0.004, size=m), 0, WORLD - 1e-9))
         ys += list(np.clip(rng.normal(ccy, WORLD * 0.004, size=m), 0, WORLD - 1e-9))
     xs, ys = np.asarray(xs), np.asarray(ys)
