@@ -24,7 +24,7 @@ from .functions.phash import phash64
 
 SEED = 42
 FMT_CYCLE = ["raw", "png", "q8", "raw"]  # raw-heavy: the lossless fast path
-IMG_SPAN = 8.0  # world units covered by one image edge-to-edge
+REGION = 0.35 * WORLD  # images/zones/points all live in [0, REGION)^2
 
 
 @dataclass
@@ -37,10 +37,18 @@ class CorpusSpec:
 
 
 def image_origin(i: int, n_images: int) -> tuple[float, float]:
-    """Deterministic placement: images on a grid over the world plane."""
+    """Deterministic placement: images tile REGION^2 contiguously (so tiles,
+    zones and points genuinely overlap)."""
     g = int(np.ceil(np.sqrt(n_images)))
-    step = min(IMG_SPAN, WORLD / g)
+    step = REGION / g
     return (i % g) * step, (i // g) * step
+
+
+def image_geo(i: int, n_images: int, w: int) -> tuple[float, float, float]:
+    """(x0, y0, cellsize) so image i spans its full grid slot edge-to-edge."""
+    g = int(np.ceil(np.sqrt(n_images)))
+    x0, y0 = image_origin(i, n_images)
+    return x0, y0, (REGION / g) / w
 
 
 def make_grid(i: int, w: int, h: int, fmt: str, with_nodata: bool) -> np.ndarray:
@@ -104,7 +112,18 @@ def grid_for(i: int, spec: CorpusSpec = CorpusSpec()) -> np.ndarray:
 
 
 def image_cellsize(spec: CorpusSpec = CorpusSpec()) -> float:
-    return IMG_SPAN / spec.w
+    g = int(np.ceil(np.sqrt(spec.n_images)))
+    return (REGION / g) / spec.w
+
+
+def images_with_geo(spec: CorpusSpec = CorpusSpec()) -> list[dict]:
+    """build_images + the (x0, y0, cellsize) layout columns attached —
+    the standard geo-referenced corpus for spatial tests & bench."""
+    rows = build_images(spec)
+    for i, r in enumerate(rows):
+        x0, y0, cs = image_geo(i, spec.n_images, spec.w)
+        r.update({"x0": x0, "y0": y0, "cellsize": cs})
+    return rows
 
 
 # ---------------------------------------------------------------- zones ----

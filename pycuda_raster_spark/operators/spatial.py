@@ -1,0 +1,229 @@
+"""Spatial join suite: cell assignment, point-in-polygon, kNN, range join.
+
+Mandated by the north rule (B:14: "H3/S2 index, point-in-polygon, kNN,
+raster<->vector") — the reference itself has no relational joins (its one
+join-shaped construct is the halo exchange, SURVEY.md §2.3), so these are
+capability extensions expressed as Spark-first plan shapes:
+
+* **PIP** = filter-and-refine: equi-join on cell id against the zones'
+  exploded ``cover_cells`` (a broadcast hash join — zones are the small
+  dim), then an exact vectorized ray-cast refine. The cell pre-join is the
+  plan shape Catalyst cannot derive itself (SURVEY.md §4).
+* **kNN** = k-ring candidate expansion join + window top-k, with a
+  brute-force fallback union for queries whose ring under-fills (keeps the
+  operator EXACT at any k without growing the ring for everyone).
+* **range join** = ring expansion sized from the radius + JVM-side
+  distance filter.
+
+Distance math and ranking stay JVM-side (whole-stage codegen); Python
+appears only in the batched cell/kring encodes and the ray-cast refine —
+all Arrow-vectorized (B:15).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..fixtures import point_in_ring
+from ..functions import cellindex
+
+
+def cell_udf(res: int):
+    """Batched (x, y) -> cell id at ``res`` (B:6 "batched cell encode")."""
+
+    @F.pandas_udf(T.LongType())
+    def _enc(x: pd.Series, y: pd.Series) -> pd.Series:
+        return pd.Series(cellindex.cell(x.to_numpy(), y.to_numpy(), res))
+
+    return _enc
+
+
+def kring_udf(k: int):
+    """Batched cell -> array of (2k+1)^2 neighbor cells (k-ring)."""
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _ring(c: pd.Series) -> pd.Series:
+        mat = cellindex.kring(c.to_numpy().astype(np.int64), k)
+        return pd.Series(list(mat))
+
+    return _ring
+
+
+def with_cell(df: DataFrame, res: int, x_col: str = "x", y_col: str = "y",
+              out_col: str = "cell") -> DataFrame:
+    return df.withColumn(out_col, cell_udf(res)(F.col(x_col), F.col(y_col)))
+
+
+def tile_centroids(tiles: DataFrame, res: int) -> DataFrame:
+    """Tile -> world-plane centroid + cell. Centroid math is pure column
+    arithmetic (codegen); only the final cell encode is a batched UDF."""
+    out = tiles.withColumn(
+        "cx", F.col("x0") + F.col("w") / 2.0 * F.col("cellsize")
+    ).withColumn(
+        "cy", F.col("y0") + (F.col("ty0") + F.col("th") / 2.0) * F.col("cellsize")
+    )
+    return with_cell(out, res, "cx", "cy")
+
+
+def _pip_refine_udf():
+    """Exact even-odd ray cast, vectorized per zone within each Arrow batch.
+    Shares ``point_in_ring`` with the brute-force golden generator — one
+    source of truth for the geometry predicate."""
+
+    @F.pandas_udf(T.BooleanType())
+    def _refine(x: pd.Series, y: pd.Series, zone_id: pd.Series, ring: pd.Series) -> pd.Series:
+        out = np.zeros(len(x), dtype=bool)
+        xv, yv = x.to_numpy(), y.to_numpy()
+        zv = zone_id.to_numpy()
+        for z in pd.unique(zv):
+            idx = np.nonzero(zv == z)[0]
+            r = ring.iloc[idx[0]]
+            ring_dicts = [
+                {"x": v["x"], "y": v["y"]} if isinstance(v, dict) else {"x": v[0], "y": v[1]}
+                for v in r
+            ]
+            out[idx] = point_in_ring(xv[idx], yv[idx], ring_dicts)
+        return pd.Series(out)
+
+    return _refine
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    res: int | None = None,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """points (point_id, x, y[, cell]) ⋈ zones (zone_id, ring, cover_cells)
+    -> (point_id, zone_id) exact containment pairs.
+
+    Filter: equi-join point cell vs exploded cover_cells (superset cover →
+    no false negatives). Refine: exact ray cast. ``res`` must match the
+    resolution cover_cells were computed at when points lack a cell column.
+    """
+    zres = int(cellindex.cell_res(np.int64(
+        zones.select(F.element_at("cover_cells", 1)).first()[0])))
+    if "cell" not in points.columns:
+        if res is None:
+            res = zres
+        points = with_cell(points, res)
+    cand_zones = zones.select(
+        "zone_id", "ring", F.explode("cover_cells").alias("cell")
+    )
+    if broadcast_zones:
+        cand_zones = F.broadcast(cand_zones)
+    cand = points.join(cand_zones, "cell")
+    refined = cand.filter(
+        _pip_refine_udf()(F.col("x"), F.col("y"), F.col("zone_id"), F.col("ring"))
+    )
+    return refined.select("point_id", "zone_id")
+
+
+def knn_join(
+    queries: DataFrame,
+    sites: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    query_id: str = "point_id",
+    site_id: str = "site_id",
+    exact_fallback: bool = True,
+) -> DataFrame:
+    """Exact k-nearest-site join -> (query_id, site_id, rank, dist).
+
+    Phase 1 (scale path): candidates from the k-ring of each query's cell
+    (equi-join on cell — shuffled hash/SMJ, AQE-skew-splittable), ranked by
+    a per-query window. Phase 2 (exactness guard): a ring of radius r only
+    certifies neighbors within r*cell_size; queries whose k-th candidate is
+    farther (or that found < k) re-run brute force via a broadcast
+    cross-join of JUST those queries. At production scale phase 2 touches
+    only sparse-region stragglers.
+    """
+    q = queries if "cell" in queries.columns else with_cell(queries, res)
+    q = q.select(F.col(query_id).alias("__qid"), F.col("x").alias("__qx"),
+                 F.col("y").alias("__qy"), "cell")
+    s = sites if "cell" in sites.columns else with_cell(sites, res)
+    s = s.select(F.col(site_id).alias("__sid"), F.col("x").alias("__sx"),
+                 F.col("y").alias("__sy"), F.col("cell").alias("__scell"))
+
+    cand = (
+        q.withColumn("__ncell", F.explode(F.array_distinct(kring_udf(ring)(F.col("cell")))))
+        .join(s, F.col("__ncell") == F.col("__scell"))
+        .drop("__ncell", "__scell", "cell")
+    )
+    dist = F.sqrt(
+        (F.col("__qx") - F.col("__sx")) ** 2 + (F.col("__qy") - F.col("__sy")) ** 2
+    )
+    w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col("__sid").asc())
+    ranked = (
+        cand.withColumn("dist", dist)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+    if exact_fallback:
+        # certification radius: a ring of ``ring`` cells guarantees all
+        # sites within (ring) * cell_size of the query's cell — conservative
+        safe_r = ring * cellindex.cell_size(res)
+        ok_q = (
+            ranked.groupBy("__qid")
+            .agg(F.count("*").alias("__n"), F.max("dist").alias("__maxd"))
+            .filter((F.col("__n") >= k) & (F.col("__maxd") < F.lit(safe_r)))
+            .select("__qid")
+        )
+        # queries with too few / uncertified candidates — including those
+        # whose ring matched NOTHING (absent from `ranked` entirely)
+        bad_q = q.select("__qid").join(ok_q, "__qid", "left_anti")
+        ok = ranked.join(bad_q, "__qid", "left_anti")
+        redo = (
+            q.join(F.broadcast(bad_q), "__qid")
+            .drop("cell")
+            .crossJoin(s.drop("__scell"))
+            .withColumn("dist", dist)
+            .withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+        )
+        ranked = ok.unionByName(redo)
+
+    return ranked.select(
+        F.col("__qid").alias(query_id), F.col("__sid").alias(site_id), "rank", "dist"
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    radius: float,
+    res: int,
+    left_id: str = "point_id",
+    right_id: str = "site_id",
+) -> DataFrame:
+    """All (left, right) pairs with euclidean distance <= radius.
+    Ring sized from the radius: r_cells = ceil(radius / cell_size) — the
+    candidate set provably covers the disk, the filter is exact."""
+    ring = max(1, math.ceil(radius / cellindex.cell_size(res)))
+    l = left if "cell" in left.columns else with_cell(left, res)
+    l = l.select(F.col(left_id).alias("__lid"), F.col("x").alias("__lx"),
+                 F.col("y").alias("__ly"), "cell")
+    r = right if "cell" in right.columns else with_cell(right, res)
+    r = r.select(F.col(right_id).alias("__rid"), F.col("x").alias("__rx"),
+                 F.col("y").alias("__ry"), F.col("cell").alias("__rcell"))
+    pairs = (
+        l.withColumn("__ncell", F.explode(F.array_distinct(kring_udf(ring)(F.col("cell")))))
+        .join(r, F.col("__ncell") == F.col("__rcell"))
+        .withColumn(
+            "dist",
+            F.sqrt((F.col("__lx") - F.col("__rx")) ** 2 + (F.col("__ly") - F.col("__ry")) ** 2),
+        )
+        .filter(F.col("dist") <= radius)
+    )
+    return pairs.select(
+        F.col("__lid").alias(left_id), F.col("__rid").alias(right_id), "dist"
+    )
