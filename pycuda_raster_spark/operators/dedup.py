@@ -1,0 +1,223 @@
+"""Deduplication suite over document/image corpora.
+
+Training-data-pipeline operators a 100 TB corpus needs (driver mandate),
+generalizing the reference's single-corpus duplicate handling (the images
+table ships a ``phash`` column for exactly this, B:15):
+
+* ``exact_dedup``        — hash-groupBy exact duplicate removal.
+* ``phash_dedup``        — near-dup images by hamming(phash) buckets.
+* ``minhash_lsh_pairs``  — MinHash + banded LSH candidate pairs with exact
+                           Jaccard verification. ENTIRELY JVM-side: shingles
+                           via higher-order functions, minhash via
+                           ``array_min(transform(shingles, xxhash64(s, j)))``,
+                           bands via ``slice``+``hash``. No Python at all.
+* ``simhash64``          — 64-bit SimHash (batched NumPy pandas UDF).
+* ``ngram_jaccard_pairs``— character-n-gram Jaccard within LSH buckets.
+
+The LSH shapes are the standard band-bucket-join: shuffle keys are
+(band_id, band_hash) so hot buckets split under AQE; pair generation uses
+an id < id self-join to avoid the symmetric blowup.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
+    """Keep exactly one row (min id) per distinct key — the exact-dedup
+    pattern whose shuffle is one hash partition on the key hash."""
+    w = Window.partitionBy(*key_cols).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+def phash_dedup(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Near-duplicate image pairs: (image_id_a, image_id_b, hamming).
+
+    Exact for max_hamming <= 16 via the pigeonhole trick: split the 64-bit
+    phash into 4 16-bit bands; two hashes within hamming h <= 4 agree on at
+    least one band (h < #bands), so banding on each 16-bit quarter is a
+    LOSSLESS candidate filter. hamming itself is ``bit_count(a ^ b)`` —
+    pure JVM."""
+    bands = F.array(*[
+        F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
+        for i in range(4)
+    ])
+    e = images.select(
+        F.col("image_id"), F.col("phash"), F.posexplode(bands).alias("band", "key")
+    )
+    a = e.alias("a")
+    b = e.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.image_id") < F.col("b.image_id")),
+        )
+        .select(
+            F.col("a.image_id").alias("image_id_a"),
+            F.col("b.image_id").alias("image_id_b"),
+            F.bit_count(F.col("a.phash").bitwiseXOR(F.col("b.phash"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["image_id_a", "image_id_b"])
+    )
+    return pairs
+
+
+def _shingles(text_col, n: int = 3):
+    """word-n-gram shingle array (distinct), via higher-order functions —
+    JVM-side, codegen'd."""
+    toks = F.split(F.lower(F.trim(text_col)), r"\s+")
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )
+
+
+def with_minhash(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
+                 shingle_n: int = 3) -> DataFrame:
+    """Attach ``shingles`` + ``minhash array<bigint>`` columns. minhash_j =
+    min over shingles of xxhash64(shingle, j) — the (shingle, seed) pair
+    hash gives num_hashes independent families without Python."""
+    sh = _shingles(F.col(text_col), shingle_n)
+    mh = F.array(*[
+        F.array_min(F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        for j in range(num_hashes)
+    ])
+    return df.withColumn("shingles", sh).withColumn("minhash", mh)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    jaccard_threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup document pairs (id_a, id_b, jaccard >= threshold).
+
+    Plan shape: minhash -> explode band keys -> self-equi-join on
+    (band, band_hash) with id< id -> dedup candidates -> EXACT Jaccard
+    verify on the distinct-shingle sets (array_intersect/array_union sizes,
+    JVM-side). Probabilistic candidate recall (as published MinHash-LSH),
+    exact precision."""
+    rows = num_hashes // bands
+    m = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    band_arr = F.array(*[
+        F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
+    ])
+    e = m.select(
+        F.col(id_col).alias("id"), "shingles",
+        F.posexplode(band_arr).alias("band", "key"),
+    )
+    a, b = e.alias("a"), e.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 5,
+    threshold: float = 0.6,
+    num_hashes: int = 64,
+    bands: int = 32,
+) -> DataFrame:
+    """Character-n-gram Jaccard near-dup pairs, LSH-bucketed. Character
+    shingles catch small edits word shingles miss."""
+    norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
+    chars = F.split(norm, "")
+    # dynamic-start substring isn't a thing in F.substring; slice the
+    # char array instead (stays JVM-side)
+    sh = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(norm) - n + 1, F.lit(1))),
+            lambda i: F.concat_ws("", F.slice(chars, i, n)),
+        )
+    )
+    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    rows = num_hashes // bands
+    mh = F.array(*[
+        F.array_min(F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        for j in range(num_hashes)
+    ])
+    band_arr = F.array(*[
+        F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
+    ])
+    e = base.withColumn("minhash", mh).select(
+        "id", "shingles", F.posexplode(band_arr).alias("band", "key")
+    )
+    a, b = e.alias("a"), e.alias("b")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash over word tokens. Token hashing happens JVM-side
+    (``transform(tokens, xxhash64)`` → array<bigint>, deterministic); the
+    pandas UDF only does the per-bit +/- accumulation in batched NumPy
+    (that reduction doesn't decompose into array built-ins)."""
+
+    @F.pandas_udf(T.LongType())
+    def _fold(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.int64)
+        bit_idx = np.arange(64, dtype=np.uint64)
+        pow2 = (np.uint64(1) << bit_idx).astype(np.uint64)
+        for i, hs in enumerate(hashes):
+            if hs is None or len(hs) == 0:
+                continue
+            hv = np.asarray(hs, dtype=np.int64).view(np.uint64)
+            bits = ((hv[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
+            acc = (2 * bits - 1).sum(axis=0)
+            out[i] = int((pow2[acc > 0]).sum().view(np.int64))
+        return pd.Series(out)
+
+    toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return df.withColumn(out_col, _fold(tok_hashes))

@@ -1,0 +1,88 @@
+"""Text-analysis operators for the documents table — all JVM-side built-ins
+(no UDFs at all): the whole module survives whole-stage codegen, and every
+operator has an exact ANSI-SQL oracle (see __spark_entry__.oracle_sql).
+
+* ``with_token_count``   — whitespace + BPE-ish regex token counts.
+* ``with_quality``       — length / punctuation / stopword / uppercase
+                           ratios + a composite quality score.
+* ``with_lang_id``       — n-gram-free heuristic language ID (stopword hit
+                           rate over a small English function-word list).
+* ``with_fingerprint``   — md5 document fingerprint over normalized text
+                           (md5 exists in both Spark and DuckDB → exact
+                           cross-engine oracle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# small function-word list: enough signal for the heuristic, tiny enough to
+# inline into both Spark and DuckDB SQL
+EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+def _tokens(text_col):
+    return F.split(F.lower(F.trim(text_col)), r"\s+")
+
+
+def with_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """n_tokens: whitespace tokens; n_bpe_ish: sub-word-ish pieces split on
+    word boundaries/punct/digits (a cheap stand-in for BPE vocab growth)."""
+    return df.withColumn(
+        "n_tokens", F.size(_tokens(F.col(text_col)))
+    ).withColumn(
+        "n_bpe_ish",
+        F.size(
+            F.filter(
+                F.split(F.col(text_col), r"[^A-Za-z0-9]+|(?<=[a-z])(?=[A-Z])|(?<=[A-Za-z])(?=[0-9])"),
+                lambda t: t != F.lit(""),
+            )
+        ),
+    )
+
+
+def with_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality heuristics: mean word length, punctuation density, stopword
+    ratio, and a composite score in [0, 1]."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.size(toks)
+    n_chars = F.length(F.col(text_col))
+    n_punct = n_chars - F.length(F.regexp_replace(F.col(text_col), r"[^\w\s]", ""))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS)))
+    mean_wl = (n_chars - n_tok + 1).cast("double") / F.greatest(n_tok, F.lit(1))
+    punct_ratio = n_punct.cast("double") / F.greatest(n_chars, F.lit(1))
+    stop_ratio = n_stop.cast("double") / F.greatest(n_tok, F.lit(1))
+    score = (
+        F.least(n_tok.cast("double") / F.lit(100.0), F.lit(1.0)) * 0.4
+        + (F.lit(1.0) - F.least(punct_ratio * 4.0, F.lit(1.0))) * 0.3
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+    )
+    return (
+        df.withColumn("n_tokens", n_tok)
+        .withColumn("mean_word_len", mean_wl)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("stopword_ratio", stop_ratio)
+        .withColumn("quality_score", score)
+    )
+
+
+def with_lang_id(df: DataFrame, text_col: str = "text", threshold: float = 0.05) -> DataFrame:
+    """lang_pred: 'en' when the stopword hit rate clears the threshold,
+    else 'unk'. Deliberately simple + SQL-portable; a production system
+    would swap in a character-n-gram model behind the same column."""
+    toks = _tokens(F.col(text_col))
+    rate = F.size(F.filter(toks, lambda t: t.isin(EN_STOPWORDS))).cast("double") / F.greatest(
+        F.size(toks), F.lit(1)
+    )
+    return df.withColumn(
+        "lang_pred", F.when(rate >= threshold, F.lit("en")).otherwise(F.lit("unk"))
+    )
+
+
+def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Deterministic document fingerprint: md5 of lowercase text with all
+    non-alphanumerics stripped (normalization catches whitespace/punct
+    variants of the same content)."""
+    norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
+    return df.withColumn("fingerprint", F.md5(norm))

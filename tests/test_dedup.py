@@ -1,0 +1,113 @@
+"""Dedup operators vs pandas/NumPy brute force (SURVEY.md §5.5)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pycuda_raster_spark.fixtures import CorpusSpec, build_images
+from pycuda_raster_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    phash_dedup,
+    simhash64,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_exact_dedup_keeps_min_id(spark, docs):
+    out = exact_dedup(docs, ["text"], "doc_id").collect()
+    pdf = docs.toPandas()
+    want = pdf.sort_values("doc_id").groupby("text", as_index=False).first()
+    assert len(out) == len(want)
+    got_ids = sorted(r.doc_id for r in out)
+    assert got_ids == sorted(want["doc_id"])
+
+
+def test_phash_dedup_finds_byte_identical_dups(spark):
+    spec = CorpusSpec(n_images=32, dup_every=10)
+    images = spark.createDataFrame(build_images(spec))
+    pairs = {(r.image_id_a, r.image_id_b) for r in phash_dedup(images, max_hamming=0).collect()}
+    # byte-identical duplicates (i, i-10) must be found
+    rows = build_images(spec)
+    by_bytes = {}
+    for r in rows:
+        by_bytes.setdefault(bytes(r["bytes"]), []).append(r["image_id"])
+    want = set()
+    for grp in by_bytes.values():
+        grp = sorted(grp)
+        for i in range(len(grp)):
+            for j in range(i + 1, len(grp)):
+                want.add((grp[i], grp[j]))
+    assert want <= pairs
+    # and every reported pair really is within the hamming bound
+    ph = {r["image_id"]: r["phash"] for r in rows}
+    for a, b in pairs:
+        assert bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") == 0
+
+
+def _brute_jaccard_pairs(pdf, n, threshold, char_ngram=False):
+    def shingles(t):
+        toks = t.lower().split()
+        if char_ngram:
+            s = " ".join(t.lower().split())
+            return {s[i : i + n] for i in range(max(len(s) - n + 1, 1))}
+        if len(toks) < n:
+            return {" ".join(toks)}
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sh = {r.doc_id: shingles(r.text) for r in pdf.itertuples(index=False)}
+    ids = sorted(sh)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            j = len(sh[a] & sh[b]) / len(sh[a] | sh[b])
+            if j >= threshold:
+                out[(a, b)] = j
+    return out
+
+
+def test_minhash_lsh_vs_brute_force(spark, docs):
+    """LSH candidate recall is probabilistic, precision is exact: every
+    reported pair must match brute-force Jaccard, and high-similarity
+    pairs (well above threshold) must be recalled."""
+    small = docs.limit(300)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in minhash_lsh_pairs(small, jaccard_threshold=0.5).collect()}
+    want = _brute_jaccard_pairs(small.toPandas(), 3, 0.5)
+    for pair, j in got.items():
+        assert pair in want and abs(want[pair] - j) < 1e-9
+    strong = {p for p, j in want.items() if j >= 0.8}
+    assert strong <= set(got), "pairs with jaccard >= 0.8 must be recalled"
+
+
+def test_ngram_jaccard_precision(spark, docs):
+    small = docs.limit(200)
+    got = {(r.id_a, r.id_b): r.jaccard
+           for r in ngram_jaccard_pairs(small, n=5, threshold=0.5).collect()}
+    want = _brute_jaccard_pairs(small.toPandas(), 5, 0.5, char_ngram=True)
+    for pair, j in got.items():
+        assert pair in want and abs(want[pair] - j) < 1e-9
+
+
+def test_simhash_deterministic_and_similarity_ordered(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "completely different words entirely unrelated content here"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    out2 = {r.doc_id: r.simhash for r in simhash64(df).collect()}
+    assert out == out2, "simhash must be deterministic"
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    assert ham(out[0], out[1]) < ham(out[0], out[2])

@@ -1,0 +1,117 @@
+"""Text analysis + multimodal plumbing tests."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pycuda_raster_spark.fixtures import CorpusSpec, build_images, grid_for
+from pycuda_raster_spark.functions.codecs import NODATA, decode
+from pycuda_raster_spark.operators.multimodal import (
+    decode_features,
+    frame_sample,
+    resize_grid,
+)
+from pycuda_raster_spark.operators.text import (
+    with_fingerprint,
+    with_lang_id,
+    with_quality,
+    with_token_count,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet").cache()
+
+
+def test_token_count_matches_python(spark, docs):
+    out = with_token_count(docs.limit(100)).collect()
+    for r in out:
+        assert r.n_tokens == len(r.text.strip().lower().split())
+        assert r.n_bpe_ish >= 1
+
+
+def test_quality_columns_in_range(spark, docs):
+    out = with_quality(docs.limit(200)).collect()
+    for r in out:
+        assert 0.0 <= r.punct_ratio <= 1.0
+        assert 0.0 <= r.stopword_ratio <= 1.0
+        assert 0.0 <= r.quality_score <= 1.0
+
+
+def test_lang_id_and_fingerprint(spark, docs):
+    out = with_lang_id(with_fingerprint(docs.limit(100))).collect()
+    import hashlib
+    import re
+
+    for r in out:
+        assert r.lang_pred in ("en", "unk")
+        norm = re.sub(r"[^a-z0-9]", "", r.text.lower())
+        assert r.fingerprint == hashlib.md5(norm.encode()).hexdigest()
+    # fingerprint equality for whitespace variants
+    df = spark.createDataFrame(
+        [(0, "Hello,   World!"), (1, "hello world"), (2, "different")],
+        ["doc_id", "text"],
+    )
+    fps = {r.doc_id: r.fingerprint for r in with_fingerprint(df).collect()}
+    assert fps[0] == fps[1] != fps[2]
+
+
+SPEC = CorpusSpec(n_images=8, w=32, h=24)
+
+
+def test_decode_features_real_codecs(spark):
+    images = spark.createDataFrame(build_images(SPEC))
+    out = {r.image_id: np.asarray(r.features) for r in decode_features(images).collect()}
+    assert len(out) == SPEC.n_images
+    rows = build_images(SPEC)
+    for r in rows[:4]:
+        g = decode(bytes(r["bytes"]), r["fmt"], SPEC.w, SPEC.h)
+        v = g[g != NODATA].astype(np.float64)
+        f = out[r["image_id"]]
+        assert abs(f[0] - v.mean()) < 1e-6 and abs(f[2] - v.min()) < 1e-6
+        assert abs(f[4:].sum() - 1.0) < 1e-9  # histogram normalized
+
+
+def test_decode_features_stub_raises_and_fake_works(spark):
+    bad = spark.createDataFrame(
+        [("x0", bytearray(b"\x01\x02\x03\x04"), 4, 4, "jpeg")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    with pytest.raises(Exception, match="NotImplementedError|not available"):
+        decode_features(bad).collect()
+    out = decode_features(bad, deterministic_fake=True).collect()
+    out2 = decode_features(bad, deterministic_fake=True).collect()
+    assert np.allclose(out[0].features, out2[0].features)  # deterministic fake
+
+
+def test_resize_grid_box_mean(spark):
+    images = spark.createDataFrame(build_images(SPEC)).limit(2)
+    out = resize_grid(images, new_w=8, new_h=6).collect()
+    for r in out:
+        assert r.w == 8 and r.h == 6 and len(r.px) == 48
+    # constant image resizes to the same constant
+    g = np.full((24, 32), 7.0, dtype=np.float32)
+    from pycuda_raster_spark.functions.codecs import encode
+
+    const = spark.createDataFrame(
+        [("c0", bytearray(encode(g, "raw")), 32, 24, "raw")],
+        "image_id string, bytes binary, w int, h int, fmt string",
+    )
+    r = resize_grid(const, 8, 6).collect()[0]
+    assert np.allclose(np.asarray(r.px), 7.0)
+
+
+def test_frame_sample_rawv(spark):
+    nf, h, w = 6, 4, 5
+    frames = np.arange(nf * h * w, dtype=np.float32).reshape(nf, h, w)
+    vids = spark.createDataFrame(
+        [("v0", bytearray(frames.tobytes()), w, h, nf, "rawv")],
+        "video_id string, bytes binary, w int, h int, n_frames int, fmt string",
+    )
+    out = sorted(frame_sample(vids, every_nth=2).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 2, 4]
+    for r in out:
+        assert np.array_equal(np.asarray(r.px), frames[r.frame_idx].ravel())
