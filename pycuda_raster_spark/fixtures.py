@@ -116,6 +116,20 @@ def image_cellsize(spec: CorpusSpec = CorpusSpec()) -> float:
     return (REGION / g) / spec.w
 
 
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+IMAGES_GEO_DDL = IMAGES_DDL + ", x0 double, y0 double, cellsize double"
+
+
+def images_df(spark, spec: CorpusSpec = CorpusSpec(), geo: bool = True):
+    """Spark DataFrame with the EXACT driver-mandated images schema
+    (B:15: w/h are int32, phash int64)."""
+    rows = images_with_geo(spec) if geo else build_images(spec)
+    return spark.createDataFrame(rows, schema=IMAGES_GEO_DDL if geo else IMAGES_DDL)
+
+
 def images_with_geo(spec: CorpusSpec = CorpusSpec()) -> list[dict]:
     """build_images + the (x0, y0, cellsize) layout columns attached —
     the standard geo-referenced corpus for spatial tests & bench."""

@@ -26,7 +26,7 @@ PRODUCTS = ("slope", "aspect", "hillshade")
 
 FOCAL_SCHEMA = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-    "cellsize double, x0 double, y0 double, caption string, "
+    "cellsize double, x0 double, y0 double, caption string, psnr double, "
     "slope array<float>, aspect array<float>, hillshade array<float>"
 )
 
@@ -48,6 +48,7 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
                 "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
                 "h": pdf["h"], "cellsize": pdf["cellsize"], "x0": pdf["x0"],
                 "y0": pdf["y0"], "caption": pdf["caption"],
+                "psnr": pdf["psnr"],
                 "slope": [None] * n, "aspect": [None] * n,
                 "hillshade": [None] * n,
             }
@@ -71,5 +72,5 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
             yield pd.DataFrame(out)
 
     cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
-            "y0", "caption", "px", "halo_top", "halo_bot"]
+            "y0", "caption", "psnr", "px", "halo_top", "halo_bot"]
     return tiles.select(*cols).mapInPandas(gen, schema=FOCAL_SCHEMA)

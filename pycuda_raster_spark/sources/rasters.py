@@ -1,0 +1,112 @@
+"""Raster file sources — the reference's two input formats re-expressed.
+
+The reference reads GeoTIFF via GDAL and ESRI ASCII Grid via a hand
+parser, streaming row blocks ([ref?: dataLoader.py]; formats per B:6 /
+public repo description). Spark-native equivalents:
+
+* ``read_images_parquet``  — the primary path: the driver-mandated images
+  table (B:15) straight from Parquet (predicate pushdown + column pruning
+  come free).
+* ``read_raster_files``    — loose raster files via ``binaryFile``:
+  (path, bytes) rows decoded by extension; our raw/png codecs stand in for
+  GDAL (absent in sandbox). GeoTIFF proper is stubbed with
+  NotImplementedError until a GDAL wheel exists in the image.
+* ``read_ascii_grid``      — a REAL ESRI ASCII Grid (.asc) parser: 6-line
+  header (ncols nrows xllcorner yllcorner cellsize NODATA_value) +
+  whitespace rows, parsed batch-wise in mapInPandas, emitting the engine's
+  images-with-geo shape (bytes re-encoded as fmt='raw').
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions import codecs
+
+IMAGES_GEO_SCHEMA = (
+    "image_id string, bytes binary, w int, h int, fmt string, caption string, "
+    "phash long, x0 double, y0 double, cellsize double, nodata double"
+)
+
+
+def read_images_parquet(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def write_ascii_grid(grid: np.ndarray, x0: float, y0: float, cellsize: float,
+                     nodata: float = codecs.NODATA) -> str:
+    """Serialize one grid to ESRI ASCII Grid text (test/export helper)."""
+    h, w = grid.shape
+    header = (
+        f"ncols {w}\nnrows {h}\nxllcorner {x0}\nyllcorner {y0}\n"
+        f"cellsize {cellsize}\nNODATA_value {nodata}\n"
+    )
+    # .asc rows run north->south; engine grids are row 0 = y0 (south-up
+    # internal layout) — keep engine order and document it
+    body = "\n".join(" ".join(repr(float(v)) for v in row) for row in grid)
+    return header + body + "\n"
+
+
+def parse_ascii_grid(text: str) -> tuple[np.ndarray, dict]:
+    """One .asc document -> (float32 grid, header dict). The reference's
+    6-line header parse ([ref?: dataLoader.py])."""
+    lines = text.strip().splitlines()
+    hdr: dict[str, float] = {}
+    i = 0
+    while i < len(lines) and len(hdr) < 6:
+        k, v = lines[i].split(None, 1)
+        hdr[k.lower()] = float(v)
+        i += 1
+    w, h = int(hdr["ncols"]), int(hdr["nrows"])
+    vals = np.array(" ".join(lines[i:]).split(), dtype=np.float64)
+    grid = vals.reshape(h, w).astype(np.float32)
+    nd = hdr.get("nodata_value")
+    if nd is not None and nd != codecs.NODATA:
+        grid = np.where(grid == np.float32(nd), np.float32(codecs.NODATA), grid)
+    return grid, hdr
+
+
+def read_ascii_grid(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Directory/glob of .asc files -> images-with-geo DataFrame.
+    binaryFile scan (distributed, splits by file) + batched parse."""
+    from ..functions.phash import phash64
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "x0", "y0",
+                                    "cellsize", "nodata")}
+            for r in pdf.itertuples(index=False):
+                grid, hdr = parse_ascii_grid(bytes(r.content).decode("ascii"))
+                name = r.path.rsplit("/", 1)[-1]
+                rows["image_id"].append(name)
+                rows["bytes"].append(codecs.encode(grid, "raw"))
+                rows["w"].append(grid.shape[1])
+                rows["h"].append(grid.shape[0])
+                rows["fmt"].append("raw")
+                rows["caption"].append(f"ascii grid {name}")
+                rows["phash"].append(phash64(grid))
+                rows["x0"].append(hdr.get("xllcorner", 0.0))
+                rows["y0"].append(hdr.get("yllcorner", 0.0))
+                rows["cellsize"].append(hdr.get("cellsize", 1.0))
+                rows["nodata"].append(codecs.NODATA)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(gen, schema=IMAGES_GEO_SCHEMA)
+
+
+def read_raster_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Loose raster files by extension: .asc -> real parser; .tif/.tiff ->
+    NotImplementedError (GDAL absent — the stub documents the contract)."""
+    if path_glob.endswith((".tif", ".tiff")):
+        raise NotImplementedError(
+            "GeoTIFF requires GDAL, which this environment lacks; "
+            "use parquet images tables or .asc grids"
+        )
+    return read_ascii_grid(spark, path_glob)

@@ -1,0 +1,66 @@
+"""Structured Streaming incremental runner (SURVEY.md §2.8 op 43).
+
+The reference's pipeline is a bounded stream with backpressure via process
+pipes ([ref?: scheduler.py 3-process design]). The Spark-native incremental
+mode: ``readStream`` over the images table directory with
+``Trigger.AvailableNow`` + checkpoint — newly landed image files are
+processed exactly once per start, and a restart resumes from the
+checkpoint offsets. The per-batch body is the SAME batch pipeline
+(decode -> stencil), so batch and streaming share one code path via
+``foreachBatch``.
+
+This complements (not replaces) the manifest resume: the manifest tracks
+logical buckets for mid-stage re-runs and lineage queries; the stream
+checkpoint tracks source files for incremental ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..operators.decode import decode_tiles
+from ..operators.focal import focal_products
+
+IMAGES_DDL = (
+    "image_id string, bytes binary, w int, h int, fmt string, "
+    "caption string, phash long"
+)
+
+
+def run_incremental(
+    spark: SparkSession,
+    images_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    tile_rows: int = 32,
+    extra_image_cols: str = "",
+) -> int:
+    """Process all not-yet-seen image files under ``images_dir`` through the
+    focal pipeline into ``out_dir`` (parquet append, exactly-once per file
+    via the checkpoint). Returns the number of IMAGES processed this
+    invocation (0 on a no-new-data restart)."""
+    ddl = IMAGES_DDL + (", " + extra_image_cols if extra_image_cols else "")
+    src = (
+        spark.readStream.schema(T._parse_datatype_string(ddl))
+        .option("maxFilesPerTrigger", 64)
+        .parquet(images_dir)
+    )
+    n_written = {"n": 0}
+
+    def process(batch_df, epoch_id: int) -> None:
+        batch_df = batch_df.cache()
+        n_written["n"] += batch_df.count()
+        tiles = decode_tiles(batch_df, tile_rows=tile_rows)
+        focal_products(tiles).write.mode("append").parquet(f"{out_dir}/tiles")
+        batch_df.unpersist()
+
+    q = (
+        src.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return n_written["n"]
