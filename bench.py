@@ -1,0 +1,106 @@
+"""Benchmark harness (driver contract + BASELINE.md protocol).
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line ``{"metric", "value" (total sec), "unit": "sec", "queries": {name:
+sec}, "sf", ...}``.
+
+Headline set:
+  * ``raster_pipeline`` — the flagship: synthetic bench corpus (the
+    driver-mandated images shape) through decode -> tile+halo -> Horn
+    slope/aspect/hillshade -> cell assign -> PIP zonal stats. Also reports
+    tiles+joined rows/sec (the BASELINE.json:2 metric).
+  * relational/text/vector headliners over the sf-dir tables.
+
+Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
+BENCH_IMAGES (corpus size, default 384), BENCH_IMG (image edge, default 192).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def bench_raster(spark, n_images: int, img_edge: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from pycuda_raster_spark.fixtures import CorpusSpec, build_zones, images_df
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import focal_products
+    from pycuda_raster_spark.operators.zonal import zonal_stats
+
+    spec = CorpusSpec(n_images=n_images, w=img_edge, h=img_edge)
+    images = images_df(spark, spec)
+    images.write.mode("overwrite").parquet("/tmp/bench_images")
+    images = spark.read.parquet("/tmp/bench_images")
+    zones = spark.createDataFrame(build_zones(16, res=6))
+
+    t0 = time.time()
+    tiles = decode_tiles(images, tile_rows=64)
+    focal = focal_products(tiles)
+    n_tiles = focal.count()
+    zs = zonal_stats(decode_tiles(images, tile_rows=64), zones)
+    n_joined = zs.agg(F.sum("n_px")).collect()[0][0] or 0
+    n_zone_rows = zs.count()
+    dt = time.time() - t0
+    work_rows = n_tiles + n_zone_rows
+    return {
+        "sec": dt,
+        "tiles": n_tiles,
+        "zonal_rows": n_zone_rows,
+        "pixels_joined": int(n_joined),
+        "rows_per_sec": work_rows / dt,
+        "pixels_per_sec": (n_images * img_edge * img_edge) / dt,
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_images = int(os.environ.get("BENCH_IMAGES", "384"))
+    img_edge = int(os.environ.get("BENCH_IMG", "192"))
+
+    from pycuda_raster_spark.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+
+    import __spark_entry__ as ent
+
+    queries = {}
+
+    t0 = time.time()
+    raster = bench_raster(spark, n_images, img_edge)
+    queries["raster_pipeline"] = round(raster["sec"], 3)
+
+    qs = ent.queries()
+    for name in [
+        "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+        "q_window_topk", "q_salted_agg", "q_sessionize",
+        "q_text_stats", "q_minhash_pairs", "q_ann_topk",
+    ]:
+        t = time.time()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        queries[name] = round(time.time() - t, 3)
+    total = time.time() - t0
+
+    out = {
+        "metric": "total_bench_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "cpus": cpus,
+        "raster": {k: (round(v, 3) if isinstance(v, float) else v)
+                   for k, v in raster.items()},
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
