@@ -32,9 +32,21 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+# driver testdata ships one row group per table -> Spark gets ONE input
+# split, so a long projection chain after the scan runs on a single core.
+# Fan out only the tables whose queries are projection-heavy (text/vector
+# paths); agg/join/window queries hit an exchange immediately anyway, and
+# an extra full-row shuffle would only hurt them.
+_FANOUT = {"documents", "embeddings"}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    par = spark.sparkContext.defaultParallelism
     for t in TABLES:
-        spark.read.parquet(f"{sf_dir}/{t}.parquet").createOrReplaceTempView(t)
+        df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
+        if t in _FANOUT:
+            df = df.repartition(par)
+        df.createOrReplaceTempView(t)
 
 
 # --------------------------------------------------------------------------

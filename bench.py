@@ -26,34 +26,43 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def bench_raster(spark, n_images: int, img_edge: int) -> dict:
+def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
+    """Flagship end-to-end: fused decode+stencil -> tile sink -> pixel-free
+    zonal stats (the production plan shape from plans/pipeline.py: one
+    Python stage over pixels, everything after it JVM-side on scalars)."""
     from pyspark.sql import functions as F
 
     from pycuda_raster_spark.fixtures import CorpusSpec, build_zones, images_df
-    from pycuda_raster_spark.operators.decode import decode_tiles
-    from pycuda_raster_spark.operators.focal import focal_products
-    from pycuda_raster_spark.operators.zonal import zonal_stats
+    from pycuda_raster_spark.operators.focal import decode_focal
+    from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
 
     spec = CorpusSpec(n_images=n_images, w=img_edge, h=img_edge)
-    images = images_df(spark, spec)
-    images.write.mode("overwrite").parquet("/tmp/bench_images")
-    images = spark.read.parquet("/tmp/bench_images")
+    src = f"/tmp/bench_images_{n_images}_{img_edge}"
+    if not os.path.isdir(src):
+        images_df(spark, spec).write.mode("overwrite").parquet(src)
+    images = spark.read.parquet(src)
     zones = spark.createDataFrame(build_zones(16, res=6))
+    images.count()  # warm file listing; keep JVM startup out of the number
 
     t0 = time.time()
-    tiles = decode_tiles(images, tile_rows=64)
-    focal = focal_products(tiles)
-    n_tiles = focal.count()
-    zs = zonal_stats(decode_tiles(images, tile_rows=64), zones)
-    n_joined = zs.agg(F.sum("n_px")).collect()[0][0] or 0
-    n_zone_rows = zs.count()
+    fused = decode_focal(images, tile_rows=64, partitions=cpus * 2)
+    out = "/tmp/bench_tiles"
+    fused.write.mode("overwrite").parquet(out)
+    written = spark.read.parquet(out)
+    n_tiles = written.count()
+    slim = written.select("image_id", "tile_y", "ty0", "th", "w", "x0", "y0",
+                          "cellsize", "pn", "ps", "pss", "pmin", "pmax")
+    zs = zonal_stats_from_partials(slim, zones)
+    zrows = zs.collect()
     dt = time.time() - t0
+    n_zone_rows = len(zrows)
+    n_joined = int(sum(r.n_px for r in zrows))
     work_rows = n_tiles + n_zone_rows
     return {
         "sec": dt,
         "tiles": n_tiles,
         "zonal_rows": n_zone_rows,
-        "pixels_joined": int(n_joined),
+        "pixels_joined": n_joined,
         "rows_per_sec": work_rows / dt,
         "pixels_per_sec": (n_images * img_edge * img_edge) / dt,
     }
@@ -74,7 +83,7 @@ def main() -> None:
     queries = {}
 
     t0 = time.time()
-    raster = bench_raster(spark, n_images, img_edge)
+    raster = bench_raster(spark, n_images, img_edge, cpus)
     queries["raster_pipeline"] = round(raster["sec"], 3)
 
     qs = ent.queries()

@@ -91,11 +91,20 @@ def with_minhash(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
     min over shingles of xxhash64(shingle, j) — the (shingle, seed) pair
     hash gives num_hashes independent families without Python."""
     sh = _shingles(F.col(text_col), shingle_n)
+    # hash each shingle STRING once; derive the num_hashes families by
+    # re-hashing the resulting int64 with the family index — ~10x cheaper
+    # than hashing the string per family, same LSH guarantees
+    base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     mh = F.array(*[
-        F.array_min(F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        F.array_min(F.transform(F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(j))))
         for j in range(num_hashes)
     ])
-    return df.withColumn("shingles", sh).withColumn("minhash", mh)
+    return (
+        df.withColumn("shingles", sh)
+        .withColumn("__shash", base)
+        .withColumn("minhash", mh)
+        .drop("__shash")
+    )
 
 
 def minhash_lsh_pairs(
@@ -166,10 +175,12 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws("", F.slice(chars, i, n)),
         )
     )
-    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles"))
+    base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
+        "__shash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+    )
     rows = num_hashes // bands
     mh = F.array(*[
-        F.array_min(F.transform(F.col("shingles"), lambda s, j=j: F.xxhash64(s, F.lit(j))))
+        F.array_min(F.transform(F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(j))))
         for j in range(num_hashes)
     ])
     band_arr = F.array(*[

@@ -74,3 +74,91 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
     cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
             "y0", "caption", "psnr", "px", "halo_top", "halo_bot"]
     return tiles.select(*cols).mapInPandas(gen, schema=FOCAL_SCHEMA)
+
+
+FUSED_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, caption string, phash long, psnr double, "
+    "slope array<float>, aspect array<float>, hillshade array<float>, "
+    "pn bigint, ps double, pss double, pmin double, pmax double"
+)
+
+
+def decode_focal(
+    images: DataFrame,
+    tile_rows: int = 32,
+    products: tuple[str, ...] = PRODUCTS,
+    compute_psnr: bool = False,
+    partitions: int | None = None,
+) -> DataFrame:
+    """FUSED fast path: decode -> stencil -> tile slice in ONE Python stage.
+
+    The composable pair (decode_tiles -> focal_products) crosses Arrow
+    twice per pixel; at 100 TB that doubles the dominant serialization
+    cost. Here the whole image is decoded once, the Horn kernel runs on
+    the full grid (halo exchange is implicit — the grid is in hand), and
+    tiles of the PRODUCT arrays are emitted, together with the per-tile
+    input-pixel partials (pn/ps/pss/pmin/pmax) that downstream zonal
+    aggregation needs — so zonal stats never touch pixels again.
+    Identical results to the tiled+halo path (tests assert equality).
+
+    ``partitions``: repartition the (small) image rows before the heavy
+    Python stage so decode parallelizes even when the scan produced few
+    splits (a handful of big parquet files otherwise serializes the run).
+    """
+    from ..functions.focal_kernels import NODATA as _ND
+    from .decode import _ensure_geo
+
+    want = set(products)
+    images = _ensure_geo(images)
+    if partitions:
+        images = images.repartition(partitions, "image_id")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..functions import codecs
+
+        for pdf in batches:
+            out: dict[str, list] = {k: [] for k in (
+                "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "caption", "phash", "psnr", "slope", "aspect",
+                "hillshade", "pn", "ps", "pss", "pmin", "pmax")}
+            for row in pdf.itertuples(index=False):
+                w, h = int(row.w), int(row.h)
+                grid = codecs.decode(row.bytes, row.fmt, w, h)
+                p = float("inf")
+                if compute_psnr:
+                    rt = codecs.decode(codecs.encode(grid, row.fmt), row.fmt, w, h)
+                    p = codecs.psnr(grid, rt)
+                s, a, hs = horn_products(grid, float(row.cellsize))
+                n_tiles = (h + tile_rows - 1) // tile_rows
+                for t in range(n_tiles):
+                    ty0 = t * tile_rows
+                    th = min(tile_rows, h - ty0)
+                    sl = slice(ty0, ty0 + th)
+                    blk = grid[sl]
+                    valid = blk[blk != _ND].astype(np.float64)
+                    out["image_id"].append(row.image_id)
+                    out["tile_y"].append(t)
+                    out["ty0"].append(ty0)
+                    out["th"].append(th)
+                    out["w"].append(w)
+                    out["h"].append(h)
+                    out["cellsize"].append(float(row.cellsize))
+                    out["x0"].append(float(row.x0))
+                    out["y0"].append(float(row.y0))
+                    out["caption"].append(row.caption)
+                    out["phash"].append(int(row.phash))
+                    out["psnr"].append(p)
+                    out["slope"].append(s[sl].ravel() if "slope" in want else None)
+                    out["aspect"].append(a[sl].ravel() if "aspect" in want else None)
+                    out["hillshade"].append(hs[sl].ravel() if "hillshade" in want else None)
+                    out["pn"].append(int(valid.size))
+                    out["ps"].append(float(valid.sum()) if valid.size else 0.0)
+                    out["pss"].append(float((valid * valid).sum()) if valid.size else 0.0)
+                    out["pmin"].append(float(valid.min()) if valid.size else None)
+                    out["pmax"].append(float(valid.max()) if valid.size else None)
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
+            "cellsize", "x0", "y0"]
+    return images.select(*cols).mapInPandas(gen, schema=FUSED_SCHEMA)

@@ -36,7 +36,9 @@ from ..functions import cellindex
 
 
 def cell_udf(res: int):
-    """Batched (x, y) -> cell id at ``res`` (B:6 "batched cell encode")."""
+    """Batched (x, y) -> cell id at ``res``. Kept for API parity/debugging;
+    the hot paths use the JVM Column expression (cellindex_sql.cell_expr),
+    which is bit-identical and needs no Python worker."""
 
     @F.pandas_udf(T.LongType())
     def _enc(x: pd.Series, y: pd.Series) -> pd.Series:
@@ -45,25 +47,16 @@ def cell_udf(res: int):
     return _enc
 
 
-def kring_udf(k: int):
-    """Batched cell -> array of (2k+1)^2 neighbor cells (k-ring)."""
-
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def _ring(c: pd.Series) -> pd.Series:
-        mat = cellindex.kring(c.to_numpy().astype(np.int64), k)
-        return pd.Series(list(mat))
-
-    return _ring
-
-
 def with_cell(df: DataFrame, res: int, x_col: str = "x", y_col: str = "y",
               out_col: str = "cell") -> DataFrame:
-    return df.withColumn(out_col, cell_udf(res)(F.col(x_col), F.col(y_col)))
+    from ..functions.cellindex_sql import cell_expr
+
+    return df.withColumn(out_col, cell_expr(F.col(x_col), F.col(y_col), res))
 
 
 def tile_centroids(tiles: DataFrame, res: int) -> DataFrame:
-    """Tile -> world-plane centroid + cell. Centroid math is pure column
-    arithmetic (codegen); only the final cell encode is a batched UDF."""
+    """Tile -> world-plane centroid + cell — entirely Column arithmetic
+    (codegen, no Python)."""
     out = tiles.withColumn(
         "cx", F.col("x0") + F.col("w") / 2.0 * F.col("cellsize")
     ).withColumn(
@@ -95,18 +88,19 @@ def _pip_refine_udf():
     return _refine
 
 
-def pip_join(
+def pip_join_full(
     points: DataFrame,
     zones: DataFrame,
     res: int | None = None,
     broadcast_zones: bool = True,
 ) -> DataFrame:
-    """points (point_id, x, y[, cell]) ⋈ zones (zone_id, ring, cover_cells)
-    -> (point_id, zone_id) exact containment pairs.
+    """points (…, x, y[, cell]) ⋈ zones (zone_id, ring, cover_cells) ->
+    all point columns + ``zone_id`` for exact containment pairs.
 
     Filter: equi-join point cell vs exploded cover_cells (superset cover →
-    no false negatives). Refine: exact ray cast. ``res`` must match the
-    resolution cover_cells were computed at when points lack a cell column.
+    no false negatives). Refine: exact ray cast. One LINEAR pipeline: with
+    broadcast zones the fact side is never shuffled and carries its payload
+    columns straight through — downstream aggregations need no join-back.
     """
     zres = int(cellindex.cell_res(np.int64(
         zones.select(F.element_at("cover_cells", 1)).first()[0])))
@@ -119,11 +113,23 @@ def pip_join(
     )
     if broadcast_zones:
         cand_zones = F.broadcast(cand_zones)
+    from ..functions.cellindex_sql import point_in_ring_expr
+
     cand = points.join(cand_zones, "cell")
-    refined = cand.filter(
-        _pip_refine_udf()(F.col("x"), F.col("y"), F.col("zone_id"), F.col("ring"))
+    refined = cand.filter(point_in_ring_expr(F.col("x"), F.col("y"), F.col("ring")))
+    return refined.drop("ring", "cell")
+
+
+def pip_join(
+    points: DataFrame,
+    zones: DataFrame,
+    res: int | None = None,
+    broadcast_zones: bool = True,
+) -> DataFrame:
+    """(point_id, zone_id) exact containment pairs — see pip_join_full."""
+    return pip_join_full(points, zones, res, broadcast_zones).select(
+        "point_id", "zone_id"
     )
-    return refined.select("point_id", "zone_id")
 
 
 def knn_join(
@@ -153,8 +159,13 @@ def knn_join(
     s = s.select(F.col(site_id).alias("__sid"), F.col("x").alias("__sx"),
                  F.col("y").alias("__sy"), F.col("cell").alias("__scell"))
 
+    from ..functions.cellindex_sql import kring_from_xy_expr
+
     cand = (
-        q.withColumn("__ncell", F.explode(F.array_distinct(kring_udf(ring)(F.col("cell")))))
+        q.withColumn(
+            "__ncell",
+            F.explode(kring_from_xy_expr(F.col("__qx"), F.col("__qy"), res, ring)),
+        )
         .join(s, F.col("__ncell") == F.col("__scell"))
         .drop("__ncell", "__scell", "cell")
     )
@@ -215,8 +226,13 @@ def range_join(
     r = right if "cell" in right.columns else with_cell(right, res)
     r = r.select(F.col(right_id).alias("__rid"), F.col("x").alias("__rx"),
                  F.col("y").alias("__ry"), F.col("cell").alias("__rcell"))
+    from ..functions.cellindex_sql import kring_from_xy_expr
+
     pairs = (
-        l.withColumn("__ncell", F.explode(F.array_distinct(kring_udf(ring)(F.col("cell")))))
+        l.withColumn(
+            "__ncell",
+            F.explode(kring_from_xy_expr(F.col("__lx"), F.col("__ly"), res, ring)),
+        )
         .join(r, F.col("__ncell") == F.col("__rcell"))
         .withColumn(
             "dist",

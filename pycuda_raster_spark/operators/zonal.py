@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..fixtures import point_in_ring
 from ..functions.codecs import NODATA
-from .spatial import pip_join, tile_centroids
+from .spatial import pip_join_full, tile_centroids
 
 ZONE_STATS_COLS = ("n_px", "sum_px", "min_px", "max_px", "mean_px", "std_px")
 
@@ -45,6 +45,15 @@ def tile_pixel_partials(tiles: DataFrame, value_col: str = "px") -> DataFrame:
     )
 
 
+def _zone_res(zones: DataFrame) -> int:
+    import numpy as _np
+
+    from ..functions.cellindex import cell_res
+
+    return int(cell_res(_np.int64(
+        zones.select(F.element_at("cover_cells", 1)).first()[0])))
+
+
 def zonal_stats(
     tiles: DataFrame,
     zones: DataFrame,
@@ -54,25 +63,32 @@ def zonal_stats(
     """Per-zone stats over the pixels of tiles whose centroid falls in the
     zone -> (zone_id, n_px, sum_px, min_px, max_px, mean_px, std_px).
 
-    Tile->zone assignment reuses the PIP join (filter-and-refine on tile
-    centroids); the pixel reduction is the partial+final pattern above.
+    SINGLE pixel pass: partials and centroid geometry are projected from
+    the same tile rows (pixels are dropped immediately after the partial
+    reduction), so the PIP join and final aggregate touch only scalars —
+    the upstream decode/scan runs once, not three times.
     """
-    zres = res
-    if zres is None:
-        import numpy as _np
-
-        from ..functions.cellindex import cell_res
-
-        zres = int(cell_res(_np.int64(
-            zones.select(F.element_at("cover_cells", 1)).first()[0])))
-    cent = tile_centroids(tiles, zres).withColumn(
-        "point_id", F.xxhash64("image_id", "tile_y")
-    ).withColumnRenamed("cx", "x").withColumnRenamed("cy", "y")
-    assign = pip_join(cent, zones, res=zres)  # (point_id, zone_id)
-    partial = tile_pixel_partials(cent, value_col).select(
-        "point_id", "pn", "ps", "pss", "pmin", "pmax"
+    zres = res if res is not None else _zone_res(zones)
+    slim = tile_pixel_partials(tiles, value_col).select(
+        "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
+        "pn", "ps", "pss", "pmin", "pmax",
     )
-    joined = partial.join(assign, "point_id")
+    return zonal_stats_from_partials(slim, zones, res=zres)
+
+
+def zonal_stats_from_partials(
+    partials: DataFrame, zones: DataFrame, res: int | None = None
+) -> DataFrame:
+    """Finalize zonal stats from any DF carrying tile geometry + pixel
+    partials (pn/ps/pss/pmin/pmax) — e.g. ``focal.decode_focal`` output,
+    which makes the whole zonal stage pixel-free."""
+    zres = res if res is not None else _zone_res(zones)
+    cent = tile_centroids(partials, zres).withColumnRenamed(
+        "cx", "x"
+    ).withColumnRenamed("cy", "y")
+    # partials ride THROUGH the broadcast PIP join — one linear pipeline,
+    # the fact side is never shuffled or recomputed
+    joined = pip_join_full(cent, zones, res=zres)
     agg = joined.groupBy("zone_id").agg(
         F.sum("pn").alias("n_px"),
         F.sum("ps").alias("sum_px"),

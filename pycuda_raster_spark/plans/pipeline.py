@@ -25,8 +25,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..operators.decode import decode_tiles
-from ..operators.focal import PRODUCTS, focal_products
-from ..operators.zonal import zonal_stats
+from ..operators.focal import PRODUCTS, decode_focal, focal_products
+from ..operators.zonal import zonal_stats_from_partials
 from ..sources import catalog
 from ..streaming import manifest as mf
 
@@ -71,8 +71,11 @@ def run_pipeline(
         todo = images_b
 
     started = mf.now()
-    tiles = decode_tiles(todo, tile_rows=tile_rows, compute_psnr=compute_psnr)
-    focal = focal_products(tiles, products)
+    # fused fast path: decode -> stencil -> tile slice in ONE Python stage,
+    # emitting pixel partials so the zonal stage below is pixel-free
+    par = spark.sparkContext.defaultParallelism * 2
+    focal = decode_focal(todo, tile_rows=tile_rows, products=products,
+                         compute_psnr=compute_psnr, partitions=par)
     # bucket must survive to the sink: recompute from image_id (cheap hash,
     # avoids threading the column through the UDF schemas)
     focal_b = focal.withColumn(
@@ -118,9 +121,14 @@ def run_pipeline(
     }
 
     if zones is not None:
-        # zonal stage consumes the decoded tiles (full corpus — zonal is a
-        # small aggregate, recomputed each run for consistency)
-        zs = zonal_stats(decode_tiles(images_b, tile_rows=tile_rows), zones)
+        # zonal stage is PIXEL-FREE: it reads the scalar partial columns
+        # back from the tile sink (full corpus — zonal is a small global
+        # aggregate, refreshed each run)
+        slim = written.select(
+            "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
+            "pn", "ps", "pss", "pmin", "pmax",
+        )
+        zs = zonal_stats_from_partials(slim, zones)
         catalog.write(zs, f"{out_dir}/zonal", mode="overwrite")
         summary["zonal_path"] = f"{out_dir}/zonal"
     return summary

@@ -87,6 +87,32 @@ def test_halo_exchange_equals_fused(spark, images_df):
             np.testing.assert_array_equal(a[iid][p], b[iid][p])
 
 
+def test_fused_decode_focal_equals_composed(spark, images_df):
+    """The fused fast path (decode_focal) must be bit-identical to the
+    composable decode_tiles -> focal_products path, and its pixel partials
+    must match direct NumPy reductions."""
+    from pycuda_raster_spark.functions.codecs import NODATA, decode
+    from pycuda_raster_spark.operators.focal import decode_focal
+
+    composed = _collect_products(focal_products(decode_tiles(images_df, tile_rows=16)))
+    fused_df = decode_focal(images_df, tile_rows=16, partitions=4)
+    fused = _collect_products(fused_df)
+    assert set(fused) == set(composed)
+    for iid in composed:
+        for p in ("slope", "aspect", "hillshade"):
+            np.testing.assert_array_equal(fused[iid][p], composed[iid][p])
+    # partials spot-check vs decoded pixels
+    rows = {(r.image_id, r.tile_y): r for r in fused_df.collect()}
+    for img in images_df.limit(3).collect():
+        g = decode(bytes(img.bytes), img.fmt, img.w, img.h)
+        for t in range((img.h + 15) // 16):
+            blk = g[t * 16 : t * 16 + 16]
+            v = blk[blk != NODATA].astype(np.float64)
+            r = rows[(img.image_id, t)]
+            assert r.pn == v.size
+            assert abs(r.ps - v.sum()) < 1e-6
+
+
 def test_caption_passthrough(spark, images_df):
     """Caption equality end-to-end (BASELINE.json:15)."""
     tiles = decode_tiles(images_df, tile_rows=16)
