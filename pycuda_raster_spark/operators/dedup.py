@@ -128,9 +128,13 @@ def minhash_lsh_pairs(
     band_arr = F.array(*[
         F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
     ])
+    # SLIM band join: only (id, band, key) is exploded/shuffled — the heavy
+    # shingle arrays stay out of the candidate join entirely and are joined
+    # back exactly once per side for the verify. At corpus scale this is
+    # the difference between shuffling bytes ~ O(bands * doc_size) and
+    # O(candidate_pairs).
     e = m.select(
-        F.col(id_col).alias("id"), "shingles",
-        F.posexplode(band_arr).alias("band", "key"),
+        F.col(id_col).alias("id"), F.posexplode(band_arr).alias("band", "key")
     )
     a, b = e.alias("a"), e.alias("b")
     cand = (
@@ -140,11 +144,13 @@ def minhash_lsh_pairs(
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh = m.select(F.col(id_col).alias("__sid"), F.col("shingles"))
+    cand = (
+        cand.join(sh.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"}), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -187,22 +193,24 @@ def ngram_jaccard_pairs(
         F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
     ])
     e = base.withColumn("minhash", mh).select(
-        "id", "shingles", F.posexplode(band_arr).alias("band", "key")
+        "id", F.posexplode(band_arr).alias("band", "key")
     )
     a, b = e.alias("a"), e.alias("b")
-    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    cand = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.key") == F.col("b.key"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"), F.col("b.shingles").alias("sh_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    sh2 = base.select(F.col("id").alias("__sid"), "shingles")
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.join(sh2.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")
+        .join(sh2.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"}), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")

@@ -36,6 +36,13 @@ if not os.path.isdir(path):
 images = spark.read.parquet(path)
 zones = spark.createDataFrame(build_zones(16, res=6))
 images.count()  # warm: JVM + file listing out of the timed section
+# warm the python worker pool + codegen (both parallelism levels pay the
+# same zero, so the efficiency ratio measures actual scaling)
+@F.pandas_udf("double")
+def _warm(s):
+    return s * 1.0
+spark.range(10000).withColumn("w", _warm(F.col("id").cast("double"))) \
+    .groupBy((F.col("id") % 7)).count().write.format("noop").mode("overwrite").save()
 
 t0 = time.time()
 focal = focal_products(decode_tiles(images, tile_rows=64))
