@@ -130,6 +130,52 @@ def images_df(spark, spec: CorpusSpec = CorpusSpec(), geo: bool = True):
     return spark.createDataFrame(rows, schema=IMAGES_GEO_DDL if geo else IMAGES_DDL)
 
 
+def images_df_distributed(spark, spec: CorpusSpec = CorpusSpec(), geo: bool = True,
+                          partitions: int | None = None):
+    """Generate the SAME corpus as images_df, but in parallel on the
+    executors (each image is independently derivable from its index, so a
+    range -> mapInPandas generator is exact). Use for bench-scale corpora
+    where driver-side generation would serialize."""
+    import pandas as pd
+
+    n, w, h = spec.n_images, spec.w, spec.h
+    de, ne = spec.dup_every, spec.nodata_every
+    parts = partitions or spark.sparkContext.defaultParallelism * 2
+
+    def gen(batches):
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "x0", "y0", "cellsize")}
+            for i in pdf["id"]:
+                i = int(i)
+                src = i
+                if de and i % de == de - 1 and i >= de:
+                    src = i - de
+                fmt = FMT_CYCLE[src % len(FMT_CYCLE)]
+                with_nd = ne and (src % ne == ne - 1)
+                g = make_grid(src, w, h, fmt, bool(with_nd))
+                x0, y0, cs = image_geo(i, n, w)
+                rows["image_id"].append(f"img{i:06d}")
+                rows["bytes"].append(encode(g, fmt))
+                rows["w"].append(w)
+                rows["h"].append(h)
+                rows["fmt"].append(fmt)
+                rows["caption"].append(f"tile {src} of synthetic terrain, seed {SEED}")
+                rows["phash"].append(phash64(g))
+                rows["x0"].append(x0)
+                rows["y0"].append(y0)
+                rows["cellsize"].append(cs)
+            yield pd.DataFrame(rows)
+
+    ddl = IMAGES_GEO_DDL if geo else IMAGES_DDL
+    cols = [c.split()[0] for c in ddl.split(",")]
+    return (
+        spark.range(n).repartition(parts)
+        .mapInPandas(gen, schema=IMAGES_GEO_DDL)
+        .select(*cols)
+    )
+
+
 def images_with_geo(spec: CorpusSpec = CorpusSpec()) -> list[dict]:
     """build_images + the (x0, y0, cellsize) layout columns attached —
     the standard geo-referenced corpus for spatial tests & bench."""

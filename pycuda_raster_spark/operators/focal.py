@@ -76,11 +76,17 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
     return tiles.select(*cols).mapInPandas(gen, schema=FOCAL_SCHEMA)
 
 
-FUSED_SCHEMA = (
+_FUSED_COMMON = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
     "cellsize double, x0 double, y0 double, caption string, phash long, psnr double, "
-    "slope array<float>, aspect array<float>, hillshade array<float>, "
+    "{px_cols}, "
     "pn bigint, ps double, pss double, pmin double, pmax double"
+)
+FUSED_SCHEMA = _FUSED_COMMON.format(
+    px_cols="slope array<float>, aspect array<float>, hillshade array<float>"
+)
+FUSED_SCHEMA_BIN = _FUSED_COMMON.format(
+    px_cols="slope binary, aspect binary, hillshade binary"
 )
 
 
@@ -90,6 +96,7 @@ def decode_focal(
     products: tuple[str, ...] = PRODUCTS,
     compute_psnr: bool = False,
     partitions: int | None = None,
+    as_binary: bool = True,
 ) -> DataFrame:
     """FUSED fast path: decode -> stencil -> tile slice in ONE Python stage.
 
@@ -105,6 +112,13 @@ def decode_focal(
     ``partitions``: repartition the (small) image rows before the heavy
     Python stage so decode parallelizes even when the scan produced few
     splits (a handful of big parquet files otherwise serializes the run).
+
+    ``as_binary`` (default): product tiles are packed little-endian float32
+    BINARY blobs instead of array<float>. Parquet LIST encoding pays
+    per-ELEMENT def/rep levels and JVM array-object churn — measured as a
+    kernel-time storm at high write concurrency (300M list values); packed
+    bytes are flat buffer copies. Decode with numpy.frombuffer('<f4') /
+    the px_f32 helper. Pass False for the analysis-friendly array schema.
     """
     from ..functions.focal_kernels import NODATA as _ND
     from .decode import _ensure_geo
@@ -149,9 +163,16 @@ def decode_focal(
                     out["caption"].append(row.caption)
                     out["phash"].append(int(row.phash))
                     out["psnr"].append(p)
-                    out["slope"].append(s[sl].ravel() if "slope" in want else None)
-                    out["aspect"].append(a[sl].ravel() if "aspect" in want else None)
-                    out["hillshade"].append(hs[sl].ravel() if "hillshade" in want else None)
+                    if as_binary:
+                        b = lambda arr: np.ascontiguousarray(arr, dtype="<f4").tobytes()  # noqa: E731
+                        out["slope"].append(b(s[sl]) if "slope" in want else None)
+                        out["aspect"].append(b(a[sl]) if "aspect" in want else None)
+                        out["hillshade"].append(b(hs[sl]) if "hillshade" in want else None)
+                    else:
+                        out["slope"].append(s[sl].ravel() if "slope" in want else None)
+                        out["aspect"].append(a[sl].ravel() if "aspect" in want else None)
+                        out["hillshade"].append(
+                            hs[sl].ravel() if "hillshade" in want else None)
                     out["pn"].append(int(valid.size))
                     out["ps"].append(float(valid.sum()) if valid.size else 0.0)
                     out["pss"].append(float((valid * valid).sum()) if valid.size else 0.0)
@@ -161,4 +182,11 @@ def decode_focal(
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "cellsize", "x0", "y0"]
-    return images.select(*cols).mapInPandas(gen, schema=FUSED_SCHEMA)
+    schema = FUSED_SCHEMA_BIN if as_binary else FUSED_SCHEMA
+    return images.select(*cols).mapInPandas(gen, schema=schema)
+
+
+def px_f32(buf) -> np.ndarray:
+    """Decode a packed product blob back to float32 (helper for consumers
+    of the binary tile schema)."""
+    return np.frombuffer(bytes(buf), dtype="<f4")

@@ -94,7 +94,7 @@ def run_pipeline(
         .groupBy("bucket")
         .agg(
             F.count("*").alias("rows"),
-            F.sum(F.size("slope") * 4 * len(products)).alias("bytes"),
+            F.sum(F.length("slope").cast("long") * len(products)).alias("bytes"),
             F.min("psnr").alias("psnr_min"),
         )
         .collect()

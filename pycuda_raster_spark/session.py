@@ -41,6 +41,14 @@ def get_spark(
             pass
         shuffle_partitions = max(8, n)
 
+    # one BLAS/OMP thread per Python worker: Spark supplies the process-
+    # level parallelism; nested BLAS pools (OpenBLAS defaults to ncpu
+    # threads PER process) oversubscribe N_workers x N_cores threads and
+    # collapse scaling (measured: 32-proc matmul 658/s -> 983/s pinned)
+    _blas_env = {"OPENBLAS_NUM_THREADS": "1", "OMP_NUM_THREADS": "1",
+                 "MKL_NUM_THREADS": "1", "NUMEXPR_NUM_THREADS": "1"}
+    os.environ.update(_blas_env)
+
     b = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -51,10 +59,15 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
+        # local mode = one JVM doing scan+shuffle+N concurrent parquet
+        # writers; an undersized heap GC-thrashes exactly when parallelism
+        # rises (measured: 32-way write 34.5s @ 24g -> 8.4s @ 64g)
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
     )
+    for k, v in _blas_env.items():
+        b = b.config(f"spark.executorEnv.{k}", v)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

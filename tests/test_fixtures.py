@@ -66,6 +66,19 @@ def test_knn_golden_ranks():
         assert ranks[0][1] <= ranks[1][1] <= ranks[2][1]
 
 
+def test_distributed_generation_equals_driver_side(spark):
+    from pycuda_raster_spark.fixtures import images_df, images_df_distributed
+
+    spec = CorpusSpec(n_images=24, w=16, h=16)
+    a = {r.image_id: r for r in images_df(spark, spec).collect()}
+    b = {r.image_id: r for r in images_df_distributed(spark, spec).collect()}
+    assert set(a) == set(b)
+    for iid in a:
+        assert bytes(a[iid].bytes) == bytes(b[iid].bytes)
+        assert a[iid].phash == b[iid].phash
+        assert (a[iid].x0, a[iid].y0, a[iid].cellsize) == (b[iid].x0, b[iid].y0, b[iid].cellsize)
+
+
 def test_grid_for_matches_duplicate_source():
     spec = CorpusSpec(n_images=32, dup_every=10)
     assert np.array_equal(grid_for(19, spec), grid_for(9, spec))

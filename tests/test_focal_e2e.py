@@ -95,12 +95,19 @@ def test_fused_decode_focal_equals_composed(spark, images_df):
     from pycuda_raster_spark.operators.focal import decode_focal
 
     composed = _collect_products(focal_products(decode_tiles(images_df, tile_rows=16)))
-    fused_df = decode_focal(images_df, tile_rows=16, partitions=4)
+    fused_df = decode_focal(images_df, tile_rows=16, partitions=4, as_binary=False)
     fused = _collect_products(fused_df)
     assert set(fused) == set(composed)
     for iid in composed:
         for p in ("slope", "aspect", "hillshade"):
             np.testing.assert_array_equal(fused[iid][p], composed[iid][p])
+    # binary sink mode: identical values, packed little-endian f32
+    bin_rows = decode_focal(images_df, tile_rows=16, partitions=4).collect()
+    for r in bin_rows[:8]:
+        arr = np.frombuffer(bytes(r.slope), dtype="<f4").reshape(r.th, r.w)
+        np.testing.assert_array_equal(
+            arr, composed[r.image_id]["slope"][r.ty0 : r.ty0 + r.th]
+        )
     # partials spot-check vs decoded pixels
     rows = {(r.image_id, r.tile_y): r for r in fused_df.collect()}
     for img in images_df.limit(3).collect():

@@ -26,11 +26,7 @@ def _table_signature(spark, path):
     df = spark.read.parquet(path)
     rows = df.select("image_id", "tile_y", "slope", "aspect", "hillshade").collect()
     return {
-        (r.image_id, r.tile_y): (
-            np.asarray(r.slope).tobytes(),
-            np.asarray(r.aspect).tobytes(),
-            np.asarray(r.hillshade).tobytes(),
-        )
+        (r.image_id, r.tile_y): (bytes(r.slope), bytes(r.aspect), bytes(r.hillshade))
         for r in rows
     }
 

