@@ -151,6 +151,33 @@ SHARED_SQL: dict[str, str] = {
 # --------------------------------------------------------------------------
 
 
+def _q_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pivot / unpivot surface (SURVEY §2.5) — DataFrame pivot with a
+    CASE-WHEN oracle."""
+    _register(spark, sf_dir)
+    li = spark.table("lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double"))
+    )
+    return out.withColumnRenamed("O", "qty_open").withColumnRenamed("F", "qty_filled")
+
+
+def _q_approx_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approximate aggregates (ops 22-23: approx_count_distinct,
+    percentile_approx) — rows-only: approximation differs by engine."""
+    _register(spark, sf_dir)
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.approx_count_distinct("l_partkey").alias("approx_parts"),
+            F.percentile_approx("l_extendedprice", 0.5).alias("approx_median_price"),
+        )
+    )
+
+
 def _q_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
     """left_anti / left_semi joins (op 19) — DataFrame form."""
     _register(spark, sf_dir)
@@ -364,6 +391,61 @@ def _r_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(images, max_hamming=4)
 
 
+def _r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycuda_raster_spark.operators.spatial import range_join
+
+    _, _, points = _corpus(spark)
+    sites = points.filter(F.col("point_id") % 7 == 0).select(
+        F.col("point_id").alias("site_id"), "x", "y"
+    )
+    out = range_join(points, sites, radius=4.0, res=6)
+    return out.select("point_id", "site_id", F.round("dist", 6).alias("dist"))
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """embedding near-dup pairs via hyperplane LSH + exact cosine verify
+    (rows-only: float threshold boundary; precision covered by tests)."""
+    from pycuda_raster_spark.operators.similarity import cosine_pairs
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    out = cosine_pairs(emb, threshold=0.35, n_planes=6)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycuda_raster_spark.operators.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir)
+    out = ngram_jaccard_pairs(spark.table("documents"), n=5, threshold=0.5)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _r_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """vector->raster materialization: per-tile zone-mask coverage counts."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.zonal import rasterize_zones
+
+    images, zones, _ = _corpus(spark)
+    masks = rasterize_zones(decode_tiles(images.limit(8), tile_rows=16), zones)
+    covered = F.size(F.filter("zone_mask", lambda v: v != F.lit(-1)))
+    return masks.select("image_id", "tile_y", covered.alias("n_zone_px"))
+
+
+def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binary-payload feature extraction (multimodal plumbing)."""
+    from pycuda_raster_spark.fixtures import CorpusSpec, images_df
+    from pycuda_raster_spark.operators.multimodal import decode_features
+
+    images = images_df(spark, CorpusSpec(n_images=16), geo=False)
+    feats = decode_features(images)
+    return feats.select(
+        "image_id", "fmt",
+        F.round(F.element_at("features", 1), 4).alias("mean_px"),
+        F.round(F.element_at("features", 4), 4).alias("max_px"),
+    )
+
+
 # --------------------------------------------------------------------------
 # contract surface
 # --------------------------------------------------------------------------
@@ -397,18 +479,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_broadcast_join": _q_broadcast_join,
             "q_salted_agg": _q_salted_agg,
             "q_distinct_percentile": _q_distinct_percentile,
+            "q_pivot": _q_pivot,
             "q_text_stats": _q_text_stats,
             "q_embedding_stats": _q_embedding_stats,
             "q_ann_topk": _q_ann_topk,
-            # rows-only (non-SQL-expressible / covered by NumPy goldens)
+            # rows-only (non-SQL-expressible / approximate / covered by
+            # NumPy goldens in tests/)
+            "q_approx_stats": _q_approx_stats,
             "q_minhash_pairs": _q_minhash_pairs,
+            "q_ngram_pairs": _q_ngram_pairs,
             "q_simhash": _q_simhash,
             "q_ivf_ann": _q_ivf_ann,
+            "q_cosine_pairs": _q_cosine_pairs,
             "r_flagship_zonal": _r_flagship_zonal,
             "r_focal_slope": _r_focal_slope,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
+            "r_range_join": _r_range_join,
             "r_phash_dedup": _r_phash_dedup,
+            "r_rasterize": _r_rasterize,
+            "r_multimodal_features": _r_multimodal_features,
         }
     )
     return q
@@ -435,6 +525,14 @@ def oracle_sql() -> dict[str, str]:
                 SELECT user_id, COUNT(*) AS n_events,
                        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
                 FROM events GROUP BY user_id
+            """,
+            "q_pivot": """
+                SELECT l_returnflag,
+                       CAST(SUM(CASE WHEN l_linestatus = 'O'
+                                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_open,
+                       CAST(SUM(CASE WHEN l_linestatus = 'F'
+                                THEN CAST(l_quantity AS DECIMAL(18,2)) END) AS DOUBLE) AS qty_filled
+                FROM lineitem GROUP BY l_returnflag
             """,
             "q_distinct_percentile": """
                 SELECT event_type,
