@@ -1,0 +1,104 @@
+"""Physical-plan quality gates (.explain assertions).
+
+Correctness says the answer is right; these say the PLAN is right — the
+properties that decide whether the same code survives a 100x scale-up:
+filters reach the parquet scan, column pruning drops pixel payloads,
+small dims broadcast, the fused pipeline doesn't shuffle, candidate joins
+never degenerate to cartesian products.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pycuda_raster_spark.fixtures import (
+    CorpusSpec,
+    build_points,
+    build_zones,
+    images_df,
+)
+from pycuda_raster_spark.operators.focal import decode_focal
+from pycuda_raster_spark.operators.spatial import knn_join, pip_join
+from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
+
+SPEC = CorpusSpec(n_images=8, w=32, h=32)
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def tiles_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("plans") / "tiles")
+    decode_focal(images_df(spark, SPEC), tile_rows=16).write.parquet(p)
+    return p
+
+
+def test_filter_pushdown_to_parquet(spark, tiles_path):
+    df = spark.read.parquet(tiles_path).filter(F.col("image_id") == "img000003")
+    plan = df._jdf.queryExecution().toString()
+    assert "PushedFilters: [IsNotNull(image_id), EqualTo(image_id,img000003)" in plan
+
+
+def test_column_pruning_drops_pixel_payloads(spark, tiles_path):
+    slim = spark.read.parquet(tiles_path).select("image_id", "pn", "ps")
+    plan = slim._jdf.queryExecution().toString()
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "slope" not in rs and "aspect" not in rs and "hillshade" not in rs
+
+
+def test_zonal_scan_is_pixel_free(spark, tiles_path):
+    zones = spark.createDataFrame(build_zones(8, res=6))
+    slim = spark.read.parquet(tiles_path).select(
+        "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
+        "pn", "ps", "pss", "pmin", "pmax")
+    zs = zonal_stats_from_partials(slim, zones)
+    plan = zs._jdf.queryExecution().toString()
+    rs = [l for l in plan.splitlines() if "ReadSchema" in l][-1]
+    assert "slope" not in rs, "zonal stats must not read product payloads"
+    assert "BroadcastHashJoin" in plan_of(zs) or "BroadcastNestedLoop" not in plan_of(zs)
+
+
+def test_fused_pipeline_has_no_shuffle(spark):
+    fused = decode_focal(images_df(spark, SPEC), tile_rows=16)  # no repartition
+    plan = plan_of(fused)
+    assert "Exchange" not in plan, f"fused path must be shuffle-free:\n{plan}"
+    assert "MapInPandas" in plan or "mapInPandas" in plan.lower()
+
+
+def test_fused_pipeline_repartition_is_single_exchange(spark):
+    fused = decode_focal(images_df(spark, SPEC), tile_rows=16, partitions=8)
+    plan = plan_of(fused)
+    assert plan.count("Exchange") == 1
+
+
+def test_pip_join_broadcasts_zones(spark):
+    zones = spark.createDataFrame(build_zones(8, res=6))
+    points = spark.createDataFrame(build_points(200, res=6))
+    plan = plan_of(pip_join(points, zones))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "PythonUDF" not in plan, "PIP must be UDF-free (JVM ray cast)"
+
+
+def test_knn_candidate_join_not_cartesian(spark):
+    points = spark.createDataFrame(build_points(200, res=6))
+    sites = points.filter(F.col("point_id") % 5 == 0).select(
+        F.col("point_id").alias("site_id"), "x", "y")
+    out = knn_join(points, sites, k=2, res=6, ring=1, exact_fallback=False)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_text_ops_are_python_free(spark):
+    """Higher-order functions evaluate JVM-side (outside whole-stage
+    codegen, which is fine); the property that matters is that NO Python
+    evaluation node appears anywhere in the text-analysis plan."""
+    from pycuda_raster_spark.operators.text import with_fingerprint, with_quality
+
+    docs = spark.createDataFrame([(1, "hello world the end")], ["doc_id", "text"])
+    out = with_fingerprint(with_quality(docs))
+    plan = plan_of(out)
+    for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
+        assert marker not in plan
