@@ -119,10 +119,28 @@ SHARED_SQL: dict[str, str] = {
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
     """,
+    # grouping sets: full cube (op 24)
+    "q_cube": """
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+    """,
+    # width-bucket histogram (op 23)
+    "q_histogram": """
+        SELECT CAST(floor(l_extendedprice / 5000.0) AS BIGINT) AS bucket,
+               COUNT(*) AS n,
+               CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+               CAST(MAX(l_extendedprice) AS DOUBLE) AS hi
+        FROM lineitem GROUP BY 1
+    """,
     # set ops (§2.5)
     "q_setops_except": """
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
         EXCEPT
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+    """,
+    "q_setops_intersect": """
+        SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+        INTERSECT
         SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
     """,
     # exact dedup via hash-groupBy (op 25 / dedup suite)
@@ -205,6 +223,24 @@ def _q_broadcast_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_orders"),
             F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"),
         )
+    )
+
+
+def _q_skew_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """explicitly SALTED join (op 18): events (hot user_ids) x customer-ish
+    dim; result provably equals a plain join (the oracle is the plain
+    join)."""
+    from pycuda_raster_spark.operators.skew import salted_join
+
+    _register(spark, sf_dir)
+    ev = spark.table("events").select("event_id", "user_id", "value")
+    dim = spark.table("customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    j = salted_join(ev, dim, on="user_id", salt=8)
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total"),
     )
 
 
@@ -478,6 +514,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_semi_anti": _q_semi_anti,
             "q_broadcast_join": _q_broadcast_join,
             "q_salted_agg": _q_salted_agg,
+            "q_skew_join": _q_skew_join,
             "q_distinct_percentile": _q_distinct_percentile,
             "q_pivot": _q_pivot,
             "q_text_stats": _q_text_stats,
@@ -519,6 +556,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT c_mktsegment, COUNT(*) AS n_orders,
                        CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
                 FROM orders JOIN customer ON o_custkey = c_custkey
+                GROUP BY c_mktsegment
+            """,
+            "q_skew_join": """
+                SELECT c_mktsegment, COUNT(*) AS n,
+                       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total
+                FROM events JOIN customer ON user_id = c_custkey
                 GROUP BY c_mktsegment
             """,
             "q_salted_agg": """

@@ -101,6 +101,55 @@ def read_ascii_grid(spark: SparkSession, path_glob: str) -> DataFrame:
     return files.select("path", "content").mapInPandas(gen, schema=IMAGES_GEO_SCHEMA)
 
 
+def export_ascii_grids(
+    tiles: DataFrame,
+    out_dir: str,
+    value_col: str = "px",
+    nodata: float = codecs.NODATA,
+) -> int:
+    """Sink: reassemble per-image grids from tiles and write one ``.asc``
+    file per image — the saver role of the reference ([ref?: dataSaver.py]
+    writes the output raster with the input's georeference + NODATA).
+    Value column may be array<float> or packed f32 binary. Per-image
+    small-file output is inherent to the format; the parquet tile table
+    remains the scale sink. Returns the number of files written."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    is_binary = dict(tiles.dtypes)[value_col] == "binary"
+    cols = ["image_id", "ty0", "th", "w", "h", "x0", "y0", "cellsize", value_col]
+    it = tiles.select(*cols).orderBy("image_id", "ty0").toLocalIterator()
+    n = 0
+    cur, parts = None, []
+
+    def flush():
+        nonlocal n
+        if cur is None:
+            return
+        iid, w, h, x0, y0, cs = cur
+        grid = np.vstack(parts)
+        assert grid.shape == (h, w), (grid.shape, h, w)
+        with open(f"{out_dir}/{iid}.asc", "w") as f:
+            f.write(write_ascii_grid(grid, x0, y0, cs, nodata=nodata))
+        n += 1
+
+    for r in it:
+        key = (r.image_id, r.w, r.h, r.x0, r.y0, r.cellsize)
+        if cur is not None and key[0] != cur[0]:
+            flush()
+            parts = []
+        cur = key
+        v = r[value_col]
+        block = (
+            np.frombuffer(bytes(v), dtype="<f4")
+            if is_binary
+            else np.asarray(v, dtype=np.float32)
+        )
+        parts.append(block.reshape(r.th, r.w))
+    flush()
+    return n
+
+
 def read_raster_files(spark: SparkSession, path_glob: str) -> DataFrame:
     """Loose raster files by extension: .asc -> real parser; .tif/.tiff ->
     NotImplementedError (GDAL absent — the stub documents the contract)."""
