@@ -427,6 +427,21 @@ def _r_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(images, max_hamming=4)
 
 
+def _r_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN TILE-neighbor lookup (north rule B:14): nearest product tiles
+    (by centroid) for each query point."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.spatial import knn_join, tile_centroids
+
+    images, _, points = _corpus(spark)
+    cent = tile_centroids(decode_tiles(images, tile_rows=8), 6).select(
+        F.concat_ws("#", "image_id", "tile_y").alias("site_id"),
+        F.col("cx").alias("x"), F.col("cy").alias("y"),
+    )
+    out = knn_join(points.limit(200), cent, k=3, res=6, ring=1)
+    return out.select("point_id", "site_id", "rank", F.round("dist", 6).alias("dist"))
+
+
 def _r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.spatial import range_join
 
@@ -532,6 +547,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_slope": _r_focal_slope,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
+            "r_knn_tiles": _r_knn_tiles,
             "r_range_join": _r_range_join,
             "r_phash_dedup": _r_phash_dedup,
             "r_rasterize": _r_rasterize,

@@ -143,7 +143,8 @@ def decode_focal(
                 if compute_psnr:
                     rt = codecs.decode(codecs.encode(grid, row.fmt), row.fmt, w, h)
                     p = codecs.psnr(grid, rt)
-                s, a, hs = horn_products(grid, float(row.cellsize))
+                if want:
+                    s, a, hs = horn_products(grid, float(row.cellsize))
                 n_tiles = (h + tile_rows - 1) // tile_rows
                 for t in range(n_tiles):
                     ty0 = t * tile_rows
