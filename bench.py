@@ -39,10 +39,11 @@ def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
     from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
 
     spec = CorpusSpec(n_images=n_images, w=img_edge, h=img_edge)
-    src = f"/tmp/bench_images_{n_images}_{img_edge}"
+    src = f"/dev/shm/bench_images_{n_images}_{img_edge}"
     if not os.path.isdir(src):
         images_df_distributed(spark, spec, partitions=64).write.mode(
             "overwrite").parquet(src)
+    spark.conf.set("spark.sql.parquet.columnarReaderBatchSize", "64")  # 256KB blobs
     images = spark.read.parquet(src)
     zones = spark.createDataFrame(build_zones(16, res=6))
     images.count()  # warm file listing; keep JVM startup out of the number
@@ -61,7 +62,7 @@ def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
 
     t0 = time.time()
     decode_focal(images, tile_rows=64).write.mode("overwrite").parquet(
-        "/tmp/bench_tiles")
+        "/dev/shm/bench_tiles")
     sink_sec = time.time() - t0
 
     n_tiles = n_images * ((img_edge + 63) // 64)

@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # shuffle/spill to tmpfs: the sandbox disk burst-throttles under
+        # sustained writes (555 -> ~30 MB/s measured), which turns shuffle
+        # I/O into noise; a real cluster's shuffle dirs are local SSDs
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR",
+                                                  "/dev/shm/spark-local"))
     )
     for k, v in _blas_env.items():
         b = b.config(f"spark.executorEnv.{k}", v)
