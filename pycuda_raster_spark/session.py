@@ -65,6 +65,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.parquet.compression.codec", "zstd")
+        # Spark 4.1's ChecksumCheckpointFileManager deadlocks state-store
+        # commits under applyInPandasWithState in local mode (observed:
+        # commit blocked forever in createWithChecksum awaitResult);
+        # checksums off restores the classic checkpoint write path
+        .config("spark.sql.streaming.checkpoint.fileChecksum.enabled", "false")
         # shuffle/spill to tmpfs: the sandbox disk burst-throttles under
         # sustained writes (555 -> ~30 MB/s measured), which turns shuffle
         # I/O into noise; a real cluster's shuffle dirs are local SSDs
