@@ -107,6 +107,57 @@ def resize_grid(images: DataFrame, new_w: int, new_h: int,
     )
 
 
+AUDIO_SCHEMA = (
+    "audio_id string, n_samples long, duration_s double, rms double, "
+    "peak double, zero_crossings long, band_energy array<double>"
+)
+
+
+def audio_features(audios: DataFrame, n_bands: int = 8,
+                   deterministic_fake: bool = False) -> DataFrame:
+    """'Audio' (audio_id, bytes, sample_rate, fmt) -> waveform features:
+    RMS, peak, zero-crossing count, coarse band energies (FFT magnitude
+    binned into n_bands). fmt='rawa' = float32 little-endian PCM (real
+    path); compressed formats (mp3/ogg/...) raise NotImplementedError —
+    no codec libs in this environment — unless deterministic_fake."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("audio_id", "n_samples", "duration_s",
+                                    "rms", "peak", "zero_crossings",
+                                    "band_energy")}
+            for row in pdf.itertuples(index=False):
+                if row.fmt == "rawa":
+                    wav = np.frombuffer(bytes(row.bytes), dtype="<f4").astype(np.float64)
+                elif deterministic_fake:
+                    seed = int.from_bytes(bytes(row.bytes)[:8].ljust(8, b"\0"), "little") & 0x7FFFFFFF
+                    wav = np.random.default_rng(seed).uniform(-1, 1, size=16000)
+                else:
+                    raise NotImplementedError(
+                        f"audio codec fmt={row.fmt!r} unavailable; only 'rawa' "
+                        "(float32 PCM) is real in this environment"
+                    )
+                sr = float(row.sample_rate)
+                spec = np.abs(np.fft.rfft(wav)) ** 2
+                edges = np.linspace(0, len(spec), n_bands + 1).astype(int)
+                bands = np.array([
+                    spec[edges[i]:edges[i + 1]].sum() for i in range(n_bands)
+                ])
+                tot = bands.sum()
+                rows["audio_id"].append(row.audio_id)
+                rows["n_samples"].append(len(wav))
+                rows["duration_s"].append(len(wav) / sr)
+                rows["rms"].append(float(np.sqrt(np.mean(wav * wav))))
+                rows["peak"].append(float(np.abs(wav).max()) if len(wav) else 0.0)
+                rows["zero_crossings"].append(int((np.diff(np.signbit(wav)) != 0).sum()))
+                rows["band_energy"].append(bands / tot if tot > 0 else bands)
+            yield pd.DataFrame(rows)
+
+    return audios.select("audio_id", "bytes", "sample_rate", "fmt").mapInPandas(
+        gen, schema=AUDIO_SCHEMA
+    )
+
+
 FRAME_SCHEMA = "video_id string, frame_idx int, px array<float>"
 
 

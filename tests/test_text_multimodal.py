@@ -104,6 +104,32 @@ def test_resize_grid_box_mean(spark):
     assert np.allclose(np.asarray(r.px), 7.0)
 
 
+def test_audio_features_rawa(spark):
+    from pycuda_raster_spark.operators.multimodal import audio_features
+
+    sr = 8000
+    t = np.arange(sr, dtype=np.float64) / sr
+    sine = (0.5 * np.sin(2 * np.pi * 440 * t)).astype("<f4")  # 1s 440Hz
+    rows = [("a0", bytearray(sine.tobytes()), sr, "rawa")]
+    df = spark.createDataFrame(
+        rows, "audio_id string, bytes binary, sample_rate int, fmt string")
+    r = audio_features(df).collect()[0]
+    assert r.n_samples == sr and abs(r.duration_s - 1.0) < 1e-9
+    assert abs(r.rms - 0.5 / np.sqrt(2)) < 1e-3
+    assert abs(r.peak - 0.5) < 1e-6
+    assert abs(r.zero_crossings - 880) <= 2  # 2 crossings per cycle
+    be = np.asarray(r.band_energy)
+    assert abs(be.sum() - 1.0) < 1e-9
+    assert be.argmax() == 0  # 440 Hz lives in the lowest of 8 bands
+    # compressed formats stub
+    bad = spark.createDataFrame(
+        [("a1", bytearray(b"abc"), sr, "mp3")],
+        "audio_id string, bytes binary, sample_rate int, fmt string")
+    with pytest.raises(Exception, match="NotImplementedError|unavailable"):
+        audio_features(bad).collect()
+    assert audio_features(bad, deterministic_fake=True).count() == 1
+
+
 def test_frame_sample_rawv(spark):
     nf, h, w = 6, 4, 5
     frames = np.arange(nf * h * w, dtype=np.float32).reshape(nf, h, w)
