@@ -460,7 +460,7 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    out = cosine_pairs(emb, threshold=0.35, n_planes=6)
+    out = cosine_pairs(emb, threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 

@@ -273,15 +273,16 @@ def golden_pip(points: list[dict], zones: list[dict]) -> set[tuple[int, int]]:
 
 def golden_knn(points: list[dict], sites: list[dict], k: int) -> list[tuple]:
     """Brute-force kNN truth: (point_id, neighbor_id, rank, dist).
-    ``sites`` rows need (id, x, y). Ties broken by (dist, id) — the same
-    total order the engine uses."""
+    ``sites`` rows need (id, x, y). Ties broken by (dist, id) with the
+    id's NATIVE type — the engine's window orders by the site_id column
+    as-is, and str() would rank integer ids lexically ('10' < '9')."""
     sx = np.array([s["x"] for s in sites])
     sy = np.array([s["y"] for s in sites])
     sid = [s["id"] for s in sites]
     out = []
     for p in points:
         d = np.hypot(sx - p["x"], sy - p["y"])
-        order = sorted(range(len(sid)), key=lambda j: (float(d[j]), str(sid[j])))[:k]
+        order = sorted(range(len(sid)), key=lambda j: (float(d[j]), sid[j]))[:k]
         out.extend(
             (p["point_id"], sid[j], r + 1, float(d[j])) for r, j in enumerate(order)
         )

@@ -35,17 +35,28 @@ def exact_dedup(df: DataFrame, key_cols: list[str], id_col: str) -> DataFrame:
     return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
 
 
-def phash_dedup(images: DataFrame, max_hamming: int = 4) -> DataFrame:
+def phash_dedup(images: DataFrame, max_hamming: int = 4, n_bands: int = 8) -> DataFrame:
     """Near-duplicate image pairs: (image_id_a, image_id_b, hamming).
 
-    Exact for max_hamming <= 16 via the pigeonhole trick: split the 64-bit
-    phash into 4 16-bit bands; two hashes within hamming h <= 4 agree on at
-    least one band (h < #bands), so banding on each 16-bit quarter is a
-    LOSSLESS candidate filter. hamming itself is ``bit_count(a ^ b)`` —
-    pure JVM."""
+    Pigeonhole-EXACT candidate filter: the 64-bit phash is split into
+    ``n_bands`` equal bit-bands; two hashes within hamming h can differ in
+    at most h bands, so they share an identical band whenever
+    h < n_bands. The default 8x8-bit banding is therefore lossless for
+    max_hamming <= 7 (the round-1 4x16 banding silently dropped pairs with
+    one differing bit per band at h = 4). hamming itself is
+    ``bit_count(a ^ b)`` — pure JVM."""
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"banded filter is only exact for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands})"
+        )
+    if 64 % n_bands:
+        raise ValueError(f"n_bands must divide 64 (got {n_bands})")
+    width = 64 // n_bands
+    mask = (1 << width) - 1
     bands = F.array(*[
-        F.shiftrightunsigned(F.col("phash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"b{i}")
-        for i in range(4)
+        F.shiftrightunsigned(F.col("phash"), width * i).bitwiseAND(F.lit(mask)).alias(f"b{i}")
+        for i in range(n_bands)
     ])
     e = images.select(
         F.col("image_id"), F.col("phash"), F.posexplode(bands).alias("band", "key")
@@ -107,6 +118,23 @@ def with_minhash(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
     )
 
 
+def _exhaustive_jaccard_pairs(sh_df: DataFrame, threshold: float) -> DataFrame:
+    """All-pairs exact Jaccard over (id, shingles) rows — the small-SF
+    oracle mode shared by the minhash/ngram operators. O(n^2) candidates by
+    construction (recall exactly 1), so only for corpora where the LSH
+    band filter is not needed; the verify expression is the SAME as the
+    LSH path's, so the two modes differ only in candidate recall."""
+    a = sh_df.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = sh_df.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,6 +143,7 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
+    mode: str = "lsh",
 ) -> DataFrame:
     """Near-dup document pairs (id_a, id_b, jaccard >= threshold).
 
@@ -122,7 +151,17 @@ def minhash_lsh_pairs(
     (band, band_hash) with id< id -> dedup candidates -> EXACT Jaccard
     verify on the distinct-shingle sets (array_intersect/array_union sizes,
     JVM-side). Probabilistic candidate recall (as published MinHash-LSH),
-    exact precision."""
+    exact precision.
+
+    ``mode="exhaustive"`` swaps the banded candidate filter for an
+    all-pairs join (recall exactly 1): the oracle-checkable configuration
+    for small SF; the banded path remains the scale/bench default."""
+    if mode == "exhaustive":
+        sh = df.select(
+            F.col(id_col).alias("id"),
+            _shingles(F.col(text_col), shingle_n).alias("shingles"),
+        )
+        return _exhaustive_jaccard_pairs(sh, jaccard_threshold)
     rows = num_hashes // bands
     m = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
     band_arr = F.array(*[
@@ -168,9 +207,11 @@ def ngram_jaccard_pairs(
     threshold: float = 0.6,
     num_hashes: int = 64,
     bands: int = 32,
+    mode: str = "lsh",
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, LSH-bucketed. Character
-    shingles catch small edits word shingles miss."""
+    shingles catch small edits word shingles miss. ``mode="exhaustive"``
+    = all-pairs exact candidates (oracle configuration, small SF only)."""
     norm = F.lower(F.regexp_replace(F.col(text_col), r"\s+", " "))
     chars = F.split(norm, "")
     # dynamic-start substring isn't a thing in F.substring; slice the
@@ -181,6 +222,10 @@ def ngram_jaccard_pairs(
             lambda i: F.concat_ws("", F.slice(chars, i, n)),
         )
     )
+    if mode == "exhaustive":
+        return _exhaustive_jaccard_pairs(
+            df.select(F.col(id_col).alias("id"), sh.alias("shingles")), threshold
+        )
     base = df.select(F.col(id_col).alias("id"), sh.alias("shingles")).withColumn(
         "__shash", F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     )

@@ -57,12 +57,17 @@ def cosine_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
+            # sort the batch by vec_id so the stable argsort below breaks
+            # exact score ties by ascending vec_id — the same total order
+            # as the final (score DESC, vec_id ASC) window; an unordered
+            # argpartition prune could drop the tie the window would keep
+            pdf = pdf.sort_values("id", kind="mergesort")
             c = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in pdf["vec"]]))
             scores = mat @ c.T  # (nq, nc)
             nq, nc = scores.shape
             kk = min(k, nc)
             # per-partition top-k prune: only kk best per query leave Python
-            idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+            idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
             out_q = np.repeat(ids, kk)
             out_v = pdf["id"].to_numpy()[idx.ravel()]
             out_s = np.take_along_axis(scores, idx, axis=1).ravel()
@@ -146,11 +151,15 @@ def ivf_topk(
                 qidx = bb.get(int(b))
                 if not qidx:
                     continue
+                # id-sorted batch + stable argsort: exact-score ties at the
+                # prune boundary keep the smallest vec_id, matching the
+                # final (score DESC, vec_id ASC) window order
+                grp = grp.sort_values(id_col, kind="mergesort")
                 c = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in grp[vec_col]]))
                 scores = mat[qidx] @ c.T
                 nq, nc = scores.shape
                 kk = min(k, nc)
-                idx = np.argpartition(-scores, kk - 1, axis=1)[:, :kk]
+                idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
                 out_frames.append(pd.DataFrame({
                     "query_id": np.repeat(ids[qidx], kk),
                     "vec_id": grp[id_col].to_numpy()[idx.ravel()],
@@ -168,36 +177,11 @@ def ivf_topk(
     )
 
 
-def cosine_pairs(
-    corpus: DataFrame,
-    threshold: float = 0.9,
-    n_planes: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    seed: int = 42,
-) -> DataFrame:
-    """Embedding near-dup pairs (id_a < id_b, cosine >= threshold) via
-    random-hyperplane (SimHash-for-vectors) bucketing + exact verify.
-    The exact cosine verify runs JVM-side with zip_with/aggregate."""
-    first = corpus.select(F.size(vec_col)).first()
-    dim = int(first[0])
-    rng = np.random.default_rng(seed)
-    planes = rng.standard_normal((n_planes, dim))
-    sc = corpus.sparkSession.sparkContext
-    bp = sc.broadcast(planes)
-
-    from pyspark.sql import types as T
-
-    @F.pandas_udf(T.LongType())
-    def sig(vecs: pd.Series) -> pd.Series:
-        P = bp.value
-        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
-        bits = (m @ P.T) > 0
-        vals = (bits * (1 << np.arange(P.shape[0], dtype=np.int64))).sum(axis=1)
-        return pd.Series(vals.astype(np.int64))
-
-    sig_df = corpus.select(id_col, vec_col).withColumn("sig", sig(F.col(vec_col)))
-    a, b = sig_df.alias("a"), sig_df.alias("b")
+def _cosine_expr(vec_col: str):
+    """Exact cosine between a.vec and b.vec as JVM Column expressions.
+    Sequential left-to-right double folds (zip_with products + aggregate)
+    so the value is bit-reproducible by any engine that folds the same
+    order — the DuckDB oracle replicates it exactly."""
     dot = F.aggregate(
         F.zip_with(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
                    lambda x, y: x.cast("double") * y.cast("double")),
@@ -207,11 +191,94 @@ def cosine_pairs(
         F.transform(F.col(f"{side}.{vec_col}"), lambda x: x.cast("double") * x.cast("double")),
         F.lit(0.0), lambda acc, v: acc + v,
     ))
+    return dot / (norm("a") * norm("b"))
+
+
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float = 0.9,
+    n_bands: int = 16,
+    band_planes: int = 6,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = 42,
+    mode: str = "lsh",
+) -> DataFrame:
+    """Embedding near-dup pairs (id_a < id_b, cosine >= threshold) via
+    BANDED random-hyperplane LSH + exact JVM cosine verify.
+
+    OR-amplified signature: ``n_bands`` independent bands of
+    ``band_planes`` hyperplane sign bits each; a pair is a candidate when
+    ANY band matches (same join shape as minhash_lsh_pairs: slim
+    (id, band, key) explode -> equi-join on (band, key) -> id<id ->
+    dropDuplicates -> join vectors back once per side for the exact
+    verify). Candidate recall at angle theta is
+    1 - (1 - p^band_planes)^n_bands with p = 1 - theta/pi: the defaults
+    give ~0.99 at cosine 0.8 (the round-1 single-band design had ~16%
+    there and only 2^n_planes buckets — quadratic intra-bucket blowup at
+    corpus scale; (band, key) keys are AQE-skew-splittable instead).
+
+    ``mode="exhaustive"`` = all-pairs candidates (recall exactly 1) — the
+    small-SF oracle configuration."""
+    slim = corpus.select(id_col, vec_col)
+    if mode == "exhaustive":
+        a, b = slim.alias("a"), slim.alias("b")
+        cand = a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        return (
+            cand.withColumn("cosine", _cosine_expr(vec_col))
+            .filter(F.col("cosine") >= threshold)
+            .select(F.col(f"a.{id_col}").alias("id_a"),
+                    F.col(f"b.{id_col}").alias("id_b"), "cosine")
+        )
+
+    first = corpus.select(F.size(vec_col)).first()
+    dim = int(first[0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_bands * band_planes, dim))
+    sc = corpus.sparkSession.sparkContext
+    bp = sc.broadcast((planes, n_bands, band_planes))
+
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def band_keys(vecs: pd.Series) -> pd.Series:
+        P, nb, rpb = bp.value
+        m = np.vstack([np.asarray(v, dtype=np.float64) for v in vecs])
+        bits = ((m @ P.T) > 0).reshape(len(m), nb, rpb)
+        keys = (bits * (1 << np.arange(rpb, dtype=np.int64))).sum(axis=2)
+        return pd.Series(list(keys.astype(np.int64)))
+
+    # SLIM band join: only (id, band, key) is exploded/shuffled; vectors
+    # join back exactly once per side for the verify (same rationale as
+    # minhash_lsh_pairs — shuffle O(candidates), not O(bands * vec_size))
+    e = slim.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
+    )
+    ea, eb = e.alias("ea"), e.alias("eb")
+    cand = (
+        ea.join(
+            eb,
+            (F.col("ea.band") == F.col("eb.band"))
+            & (F.col("ea.key") == F.col("eb.key"))
+            & (F.col("ea.id") < F.col("eb.id")),
+        )
+        .select(F.col("ea.id").alias("id_a"), F.col("eb.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    a = slim.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = slim.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    dot = F.aggregate(
+        F.zip_with("__va", "__vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    )
+    nrm = lambda c: F.sqrt(F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v,
+    ))
     return (
-        a.join(b, (F.col("a.sig") == F.col("b.sig"))
-               & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
-        .withColumn("cosine", dot / (norm("a") * norm("b")))
+        cand.join(a, "id_a").join(b, "id_b")
+        .withColumn("cosine", dot / (nrm("__va") * nrm("__vb")))
         .filter(F.col("cosine") >= threshold)
-        .select(F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"), "cosine")
+        .select("id_a", "id_b", "cosine")
     )

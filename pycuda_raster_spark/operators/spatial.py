@@ -102,11 +102,13 @@ def pip_join_full(
     broadcast zones the fact side is never shuffled and carries its payload
     columns straight through — downstream aggregations need no join-back.
     """
-    zres = int(cellindex.cell_res(np.int64(
-        zones.select(F.element_at("cover_cells", 1)).first()[0])))
     if "cell" not in points.columns:
         if res is None:
-            res = zres
+            # fallback only: infer the cover resolution with a one-row
+            # driver job. Hot paths should pass ``res`` (or pre-assign
+            # ``cell``) so building the plan triggers no Spark job.
+            res = int(cellindex.cell_res(np.int64(
+                zones.select(F.element_at("cover_cells", 1)).first()[0])))
         points = with_cell(points, res)
     cand_zones = zones.select(
         "zone_id", "ring", F.explode("cover_cells").alias("cell")
@@ -169,9 +171,10 @@ def knn_join(
         .join(s, F.col("__ncell") == F.col("__scell"))
         .drop("__ncell", "__scell", "cell")
     )
-    dist = F.sqrt(
-        (F.col("__qx") - F.col("__sx")) ** 2 + (F.col("__qy") - F.col("__sy")) ** 2
-    )
+    # explicit multiplication (not **2 -> Math.pow): bit-reproducible plain
+    # IEEE ops, so the DuckDB oracle computes the identical double
+    dx, dy = F.col("__qx") - F.col("__sx"), F.col("__qy") - F.col("__sy")
+    dist = F.sqrt(dx * dx + dy * dy)
     w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col("__sid").asc())
     ranked = (
         cand.withColumn("dist", dist)
@@ -236,7 +239,8 @@ def range_join(
         .join(r, F.col("__ncell") == F.col("__rcell"))
         .withColumn(
             "dist",
-            F.sqrt((F.col("__lx") - F.col("__rx")) ** 2 + (F.col("__ly") - F.col("__ry")) ** 2),
+            F.sqrt((F.col("__lx") - F.col("__rx")) * (F.col("__lx") - F.col("__rx"))
+                   + (F.col("__ly") - F.col("__ry")) * (F.col("__ly") - F.col("__ry"))),
         )
         .filter(F.col("dist") <= radius)
     )

@@ -94,7 +94,10 @@ def run_pipeline(
         .groupBy("bucket")
         .agg(
             F.count("*").alias("rows"),
-            F.sum(F.length("slope").cast("long") * len(products)).alias("bytes"),
+            # products=() (partials-only mode) leaves the product columns
+            # NULL -> length() is NULL; coalesce keeps bytes an int
+            F.sum(F.coalesce(F.length(products[0]) if products else F.lit(0),
+                             F.lit(0)).cast("long") * len(products)).alias("bytes"),
             F.min("psnr").alias("psnr_min"),
         )
         .collect()

@@ -45,9 +45,12 @@ def write_ascii_grid(grid: np.ndarray, x0: float, y0: float, cellsize: float,
         f"ncols {w}\nnrows {h}\nxllcorner {x0}\nyllcorner {y0}\n"
         f"cellsize {cellsize}\nNODATA_value {nodata}\n"
     )
-    # .asc rows run north->south; engine grids are row 0 = y0 (south-up
-    # internal layout) — keep engine order and document it
-    body = "\n".join(" ".join(repr(float(v)) for v in row) for row in grid)
+    # ESRI ASCII Grid rows run north->south (first data row is the
+    # northernmost, y = yll + (nrows-1)*cellsize); engine grids are
+    # south-up (row 0 at y0), so serialize vertically flipped. The parser
+    # below applies the inverse flip — round 1 had both sides in engine
+    # order, which external consumers (GDAL/QGIS) would read upside down.
+    body = "\n".join(" ".join(repr(float(v)) for v in row) for row in grid[::-1])
     return header + body + "\n"
 
 
@@ -63,7 +66,9 @@ def parse_ascii_grid(text: str) -> tuple[np.ndarray, dict]:
         i += 1
     w, h = int(hdr["ncols"]), int(hdr["nrows"])
     vals = np.array(" ".join(lines[i:]).split(), dtype=np.float64)
-    grid = vals.reshape(h, w).astype(np.float32)
+    # file rows are north->south per the ESRI spec; flip to the engine's
+    # south-up layout (row 0 = y0)
+    grid = vals.reshape(h, w)[::-1].astype(np.float32)
     nd = hdr.get("nodata_value")
     if nd is not None and nd != codecs.NODATA:
         grid = np.where(grid == np.float32(nd), np.float32(codecs.NODATA), grid)

@@ -38,9 +38,14 @@ def run_incremental(
     extra_image_cols: str = "",
 ) -> int:
     """Process all not-yet-seen image files under ``images_dir`` through the
-    focal pipeline into ``out_dir`` (parquet append, exactly-once per file
-    via the checkpoint). Returns the number of IMAGES processed this
-    invocation (0 on a no-new-data restart)."""
+    focal pipeline into ``out_dir``. Effectively-once sink: the source
+    checkpoint guarantees each file is delivered in exactly one epoch, and
+    each epoch OVERWRITES its own partition directory
+    (``tiles/epoch=<id>``), so a foreachBatch replay after a mid-write
+    failure rewrites the same directory instead of appending duplicates —
+    the standard idempotent-foreachBatch pattern (a blind append would be
+    at-least-once). Returns the number of IMAGES processed this invocation
+    (0 on a no-new-data restart)."""
     ddl = IMAGES_DDL + (", " + extra_image_cols if extra_image_cols else "")
     src = (
         spark.readStream.schema(T._parse_datatype_string(ddl))
@@ -50,11 +55,11 @@ def run_incremental(
     n_written = {"n": 0}
 
     def process(batch_df, epoch_id: int) -> None:
-        batch_df = batch_df.cache()
         n_written["n"] += batch_df.count()
         tiles = decode_tiles(batch_df, tile_rows=tile_rows)
-        focal_products(tiles).write.mode("append").parquet(f"{out_dir}/tiles")
-        batch_df.unpersist()
+        focal_products(tiles).write.mode("overwrite").parquet(
+            f"{out_dir}/tiles/epoch={epoch_id}"
+        )
 
     q = (
         src.writeStream.foreachBatch(process)

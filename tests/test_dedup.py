@@ -52,6 +52,29 @@ def test_phash_dedup_finds_byte_identical_dups(spark):
         assert bin((ph[a] ^ ph[b]) & (2**64 - 1)).count("1") == 0
 
 
+def test_phash_dedup_pigeonhole_exact_at_default(spark):
+    """Adversarial: hamming-4 pairs whose differing bits land ONE PER BAND
+    of the round-1 4x16 banding (bits 8/24/40/56) — that design shared no
+    band and silently dropped them; the 8x8 banding must find them."""
+    base = 0x1234_5678_9ABC_DEF0
+    mut = base ^ (1 << 8) ^ (1 << 24) ^ (1 << 40) ^ (1 << 56)
+
+    def to_i64(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    rows = [
+        ("a", to_i64(base)), ("b", to_i64(mut)),
+        ("c", to_i64(0x0F0F_0F0F_0F0F_0F0F)),  # far from both
+    ]
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    pairs = {(r.image_id_a, r.image_id_b): r.hamming
+             for r in phash_dedup(df, max_hamming=4).collect()}
+    assert pairs == {("a", "b"): 4}
+    # the banded filter must refuse configurations it cannot serve exactly
+    with pytest.raises(ValueError):
+        phash_dedup(df, max_hamming=8, n_bands=8)
+
+
 def _brute_jaccard_pairs(pdf, n, threshold, char_ngram=False):
     def shingles(t):
         toks = t.lower().split()
@@ -85,6 +108,21 @@ def test_minhash_lsh_vs_brute_force(spark, docs):
         assert pair in want and abs(want[pair] - j) < 1e-9
     strong = {p for p, j in want.items() if j >= 0.8}
     assert strong <= set(got), "pairs with jaccard >= 0.8 must be recalled"
+
+
+def test_exhaustive_mode_equals_bruteforce(spark, docs):
+    """mode='exhaustive' (the oracle configuration) = recall exactly 1:
+    the pair set IS the brute-force set, values exact."""
+    small = docs.limit(150)
+    pdf = small.toPandas()
+    for fn, n, char in ((minhash_lsh_pairs, 3, False), (ngram_jaccard_pairs, 5, True)):
+        kwargs = {"jaccard_threshold": 0.5} if not char else {"n": 5, "threshold": 0.5}
+        got = {(r.id_a, r.id_b): r.jaccard
+               for r in fn(small, mode="exhaustive", **kwargs).collect()}
+        want = _brute_jaccard_pairs(pdf, n, 0.5, char_ngram=char)
+        assert set(got) == set(want)
+        for p, j in got.items():
+            assert abs(want[p] - j) < 1e-9
 
 
 def test_ngram_jaccard_precision(spark, docs):

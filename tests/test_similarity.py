@@ -74,7 +74,7 @@ def test_ivf_recall_against_bruteforce(spark, emb):
 
 
 def test_cosine_pairs_precision(spark, emb):
-    got = cosine_pairs(emb.limit(200), threshold=0.8, n_planes=8).collect()
+    got = cosine_pairs(emb.limit(200), threshold=0.8).collect()
     pdf = emb.limit(200).toPandas()
     mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -82,3 +82,55 @@ def test_cosine_pairs_precision(spark, emb):
     for r in got:
         c = float(mat[pos[r.id_a]] @ mat[pos[r.id_b]])
         assert abs(c - r.cosine) < 1e-6 and c >= 0.8 and r.id_a < r.id_b
+
+
+def _neardup_corpus(spark, n_base=60, dim=32, seed=7):
+    """Deterministic corpus where (2i, 2i+1) are planted near-dup pairs
+    with cosine >= 0.8 (small perturbation of a shared base vector)."""
+    rng = np.random.default_rng(seed)
+    rows = []
+    expected = set()
+    for i in range(n_base):
+        v = rng.standard_normal(dim)
+        v /= np.linalg.norm(v)
+        w = v + 0.25 * rng.standard_normal(dim) / np.sqrt(dim)
+        w /= np.linalg.norm(w)
+        if float(v @ w) >= 0.82:  # margin above the 0.8 threshold
+            expected.add((2 * i, 2 * i + 1))
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in w]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    return df, expected
+
+
+def test_cosine_pairs_banded_recall(spark):
+    """The banded hyperplane LSH must recall >= 95% of planted pairs with
+    cosine >= 0.8 (the round-1 single-band design sat around 16% here)."""
+    df, expected = _neardup_corpus(spark)
+    assert len(expected) >= 30  # the construction really plants pairs
+    got = {(r.id_a, r.id_b) for r in cosine_pairs(df, threshold=0.8).collect()}
+    recall = len(expected & got) / len(expected)
+    assert recall >= 0.95, f"banded LSH recall {recall:.2f} < 0.95"
+
+
+def test_cosine_pairs_exhaustive_equals_bruteforce(spark, emb):
+    """mode='exhaustive' is all-pairs: exactly the brute-force pair set."""
+    small = emb.limit(120)
+    got = {(r.id_a, r.id_b): r.cosine
+           for r in cosine_pairs(small, threshold=0.5, mode="exhaustive").collect()}
+    pdf = small.toPandas()
+    mat = np.vstack(pdf["embedding"].map(np.asarray)).astype(np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    ids = pdf["vec_id"].to_numpy()
+    want = {}
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            a, b = int(min(ids[i], ids[j])), int(max(ids[i], ids[j]))
+            c = float(mat[i] @ mat[j])
+            if c >= 0.5 - 1e-9:
+                want[(a, b)] = c
+    # boundary values can differ by float fold order; compare with margin
+    sure_want = {p for p, c in want.items() if c >= 0.5 + 1e-9}
+    assert sure_want <= set(got)
+    for p, c in got.items():
+        assert p in want and abs(want[p] - c) < 1e-9
