@@ -319,13 +319,23 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH near-dup pairs (rows-only check; exactness covered by
-    tests/test_dedup.py brute-force comparison)."""
+    """near-dup pairs with EXHAUSTIVE candidates (recall exactly 1) ->
+    value-exact DuckDB oracle on the same shingle/jaccard definitions."""
     from pycuda_raster_spark.operators.dedup import minhash_lsh_pairs
 
     _register(spark, sf_dir)
     docs = spark.table("documents")
-    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5)
+    out = minhash_lsh_pairs(docs, jaccard_threshold=0.5, mode="exhaustive")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_minhash_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the banded MinHash-LSH scale path (rows-only: probabilistic
+    candidate recall; precision/recall pinned by tests/test_dedup.py)."""
+    from pycuda_raster_spark.operators.dedup import minhash_lsh_pairs
+
+    _register(spark, sf_dir)
+    out = minhash_lsh_pairs(spark.table("documents"), jaccard_threshold=0.5)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -338,7 +348,11 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate NN (rows-only; recall vs brute force in tests)."""
+    """IVF approximate NN. The seeded centroid codebook is materialized to
+    parquet (oracle_corpus.centroids), so a DuckDB oracle can replay the
+    same assign -> probe -> rank pipeline value-exactly (output is ranks
+    only — float-roundoff-proof)."""
+    from pycuda_raster_spark import oracle_corpus as oc
     from pycuda_raster_spark.operators.similarity import (
         ivf_assign,
         ivf_topk,
@@ -346,31 +360,32 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _register(spark, sf_dir)
+    _corpus_dir()  # materialize the codebook for the oracle side
     emb = spark.table("embeddings")
-    dim = len(emb.select("embedding").first()[0])
-    cents = seeded_centroids(dim, 8)
+    cents = seeded_centroids(oc.EMB_DIM, oc.N_CENTROIDS, seed=oc.SEED)
     queries = emb.filter(F.col("vec_id") < 16)
-    return ivf_topk(ivf_assign(emb, cents), queries, cents, k=5, nprobe=4).select(
-        "query_id", "vec_id", "rank"
-    )
+    return ivf_topk(ivf_assign(emb, cents), queries, cents, k=5,
+                    nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
 
 
-# ---- synthetic-corpus spatial queries (rows-only: the driver tables have
-# ---- no raster/spatial shape; exactness is covered by tests/ vs goldens)
+# ---- materialized-corpus spatial queries. The corpus (images + ground-
+# ---- truth decoded pixels + points/zones/centroids) is written ONCE to
+# ---- parquet (pycuda_raster_spark/oracle_corpus.py), so DuckDB oracles
+# ---- can re-derive every spatial/raster result from the same bytes —
+# ---- value-exact CORRECTNESS rows instead of round-1's rows-only checks.
+
+def _corpus_dir() -> str:
+    from pycuda_raster_spark import oracle_corpus as oc
+
+    return oc.ensure()
+
 
 def _corpus(spark: SparkSession):
-    from pycuda_raster_spark.fixtures import (
-        CorpusSpec,
-        build_points,
-        build_zones,
-        images_df,
-    )
-
-    spec = CorpusSpec(n_images=16, w=32, h=32)
+    d = _corpus_dir()
     return (
-        images_df(spark, spec),
-        spark.createDataFrame(build_zones(10, res=6)),
-        spark.createDataFrame(build_points(500, res=6)),
+        spark.read.parquet(f"{d}/images_geo.parquet"),
+        spark.read.parquet(f"{d}/zones.parquet"),
+        spark.read.parquet(f"{d}/points.parquet"),
     )
 
 
@@ -380,9 +395,13 @@ def _r_flagship_zonal(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     images, zones, _ = _corpus(spark)
     tiles = decode_tiles(images, tile_rows=8)
-    return zonal_stats(tiles, zones).select(
+    # exact_sums: decimal-routed partial sums are order-independent, so the
+    # result is reproducible across partitionings AND matches the DuckDB
+    # oracle value-exactly (CLAUDE.md determinism recipe)
+    return zonal_stats(tiles, zones, res=6, exact_sums=True).select(
         "zone_id", "n_px",
         F.round("sum_px", 4).alias("sum_px"),
+        "min_px", "max_px",
         F.round("mean_px", 6).alias("mean_px"),
     )
 
@@ -396,7 +415,7 @@ def _r_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
     valid = F.filter("slope", lambda v: v != F.lit(-9999.0))
     return out.select(
         "image_id", "tile_y",
-        F.size(valid).alias("n_valid"),
+        F.size(valid).cast("long").alias("n_valid"),
         F.round(F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")), 2).alias("slope_sum"),
     )
 
@@ -420,10 +439,9 @@ def _r_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _r_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pycuda_raster_spark.fixtures import CorpusSpec, images_df
     from pycuda_raster_spark.operators.dedup import phash_dedup
 
-    images = images_df(spark, CorpusSpec(n_images=32), geo=False)
+    images = spark.read.parquet(f"{_corpus_dir()}/images_media.parquet")
     return phash_dedup(images, max_hamming=4)
 
 
@@ -438,7 +456,8 @@ def _r_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat_ws("#", "image_id", "tile_y").alias("site_id"),
         F.col("cx").alias("x"), F.col("cy").alias("y"),
     )
-    out = knn_join(points.limit(200), cent, k=3, res=6, ring=1)
+    # deterministic query subset (limit() order is partition-dependent)
+    out = knn_join(points.filter(F.col("point_id") < 200), cent, k=3, res=6, ring=1)
     return out.select("point_id", "site_id", "rank", F.round("dist", 6).alias("dist"))
 
 
@@ -454,17 +473,37 @@ def _r_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """embedding near-dup pairs via hyperplane LSH + exact cosine verify
-    (rows-only: float threshold boundary; precision covered by tests)."""
+    """embedding near-dup pairs, EXHAUSTIVE candidates (recall exactly 1)
+    -> value-exact DuckDB oracle. The sequential-fold cosine expression is
+    bit-reproduced by the oracle SQL."""
     from pycuda_raster_spark.operators.similarity import cosine_pairs
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    out = cosine_pairs(emb, threshold=0.35)
+    out = cosine_pairs(emb, threshold=0.35, mode="exhaustive")
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """the banded-LSH scale path (rows-only: probabilistic candidate
+    recall; precision + recall pinned by tests/test_similarity.py)."""
+    from pycuda_raster_spark.operators.similarity import cosine_pairs
+
+    _register(spark, sf_dir)
+    out = cosine_pairs(spark.table("embeddings"), threshold=0.35)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
 def _q_ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pycuda_raster_spark.operators.dedup import ngram_jaccard_pairs
+
+    _register(spark, sf_dir)
+    out = ngram_jaccard_pairs(spark.table("documents"), n=5, threshold=0.5,
+                              mode="exhaustive")
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _q_ngram_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.dedup import ngram_jaccard_pairs
 
     _register(spark, sf_dir)
@@ -478,23 +517,373 @@ def _r_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.zonal import rasterize_zones
 
     images, zones, _ = _corpus(spark)
-    masks = rasterize_zones(decode_tiles(images.limit(8), tile_rows=16), zones)
+    # deterministic subset (limit() order is partition-dependent)
+    sub = images.filter(F.col("image_id") < "img000008")
+    masks = rasterize_zones(decode_tiles(sub, tile_rows=16), zones)
     covered = F.size(F.filter("zone_mask", lambda v: v != F.lit(-1)))
-    return masks.select("image_id", "tile_y", covered.alias("n_zone_px"))
+    return masks.select("image_id", "tile_y", covered.cast("long").alias("n_zone_px"))
 
 
 def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """binary-payload feature extraction (multimodal plumbing)."""
-    from pycuda_raster_spark.fixtures import CorpusSpec, images_df
+    """binary-payload feature extraction (multimodal plumbing). Output
+    keeps the ORDER-INDEPENDENT stats (min/max of decoded pixels) so the
+    oracle over the ground-truth pixel table matches value-exactly; mean/
+    std/histogram features stay covered by tests (their float summation
+    order is engine-specific)."""
     from pycuda_raster_spark.operators.multimodal import decode_features
 
-    images = images_df(spark, CorpusSpec(n_images=16), geo=False)
+    images = spark.read.parquet(f"{_corpus_dir()}/images_media.parquet")
     feats = decode_features(images)
     return feats.select(
         "image_id", "fmt",
-        F.round(F.element_at("features", 1), 4).alias("mean_px"),
-        F.round(F.element_at("features", 4), 4).alias("max_px"),
+        F.element_at("features", 3).alias("min_px"),
+        F.element_at("features", 4).alias("max_px"),
     )
+
+
+# --------------------------------------------------------------------------
+# DuckDB oracle SQL for the corpus-backed spatial/raster/LSH queries.
+#
+# Bit-parity rules (why these match value-exactly, not just approximately):
+#   * the ray cast, centroid, distance and Horn-stencil expressions are the
+#     SAME IEEE double formulas the engine evaluates (same operand order,
+#     same 1e-300 guard) — plain +,-,*,/ and sqrt are correctly rounded, so
+#     both engines produce identical doubles;
+#   * per-tile pixel folds replicate the engine's sequential left-to-right
+#     aggregate() order via list(val ORDER BY r, c) + list_reduce;
+#   * cross-tile sums go through DECIMAL (exact, order-independent);
+#   * transcendentals (atan) are absorbed by the engine's float32 output
+#     cast; ranked outputs exclude raw scores entirely.
+# --------------------------------------------------------------------------
+
+
+def _raycast_sql(px: str, py: str, ring: str) -> str:
+    """Even-odd ray cast — textual twin of fixtures.point_in_ring /
+    cellindex_sql.point_in_ring_expr (same formula, same epsilon guard)."""
+    prev = f"{ring}[CASE WHEN i = 1 THEN len({ring}) ELSE i - 1 END]"
+    cur = f"{ring}[i]"
+    return (
+        f"len(list_filter(generate_series(1, len({ring})), i -> "
+        f"(({cur}.y > {py}) <> ({prev}.y > {py})) AND "
+        f"({px} < ({prev}.x - {cur}.x) * ({py} - {cur}.y) / "
+        f"({prev}.y - {cur}.y + 1e-300) + {cur}.x))) % 2 = 1"
+    )
+
+
+def _fold_sql(list_expr: str) -> str:
+    """Sequential double fold starting at 0.0 — the twin of Spark's
+    F.aggregate(..., lit(0.0), acc + v); empty list -> 0.0."""
+    return (
+        f"coalesce(list_reduce(list_prepend(CAST(0 AS DOUBLE), {list_expr}), "
+        f"(acc, v) -> acc + v), CAST(0 AS DOUBLE))"
+    )
+
+
+def _dot_sql(a: str, b: str) -> str:
+    """Sequential-fold dot product of two float lists (cast to double per
+    element) — the twin of the engine's zip_with/aggregate cosine parts."""
+    prods = (f"list_transform(generate_series(1, len({a})), "
+             f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE))")
+    return _fold_sql(prods)
+
+
+def _knn_sql(points: str, queries_where: str, sites_sql: str, k: int) -> str:
+    """Brute-force exact kNN with the engine's (dist ASC, site_id ASC)
+    total order and bit-identical dist = sqrt(dx*dx + dy*dy)."""
+    return f"""
+        WITH q AS (SELECT point_id, x, y FROM {points} WHERE {queries_where}),
+        s AS ({sites_sql}),
+        d AS (
+            SELECT q.point_id, s.site_id,
+                   sqrt((q.x - s.x) * (q.x - s.x) + (q.y - s.y) * (q.y - s.y)) AS dist
+            FROM q, s
+        ),
+        r AS (
+            SELECT point_id, site_id, dist,
+                   ROW_NUMBER() OVER (PARTITION BY point_id
+                                      ORDER BY dist, site_id) AS rank
+            FROM d
+        )
+        SELECT point_id, site_id, rank, round(dist, 6) AS dist
+        FROM r WHERE rank <= {k}
+    """
+
+
+def _jaccard_pairs_sql(shingles_cte: str, threshold: float) -> str:
+    """All-pairs exact Jaccard over a (doc_id, s) shingle-set CTE — twin of
+    dedup._exhaustive_jaccard_pairs (|a ∩ b| / |a ∪ b|, int/int -> double
+    division in both engines)."""
+    inter = "len(list_intersect(a.s, b.s))"
+    union = f"(len(a.s) + len(b.s) - {inter})"
+    return f"""
+        WITH {shingles_cte}
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               round({inter} / {union}, 6) AS jaccard
+        FROM sh a, sh b
+        WHERE a.doc_id < b.doc_id AND {inter} / {union} >= {threshold}
+    """
+
+
+def _corpus_oracles() -> dict[str, str]:
+    d = _corpus_dir()
+    images = f"read_parquet('{d}/images_geo.parquet')"
+    pixels = f"read_parquet('{d}/pixels_geo.parquet')"
+    media = f"read_parquet('{d}/images_media.parquet')"
+    media_px = f"read_parquet('{d}/pixels_media.parquet')"
+    zones = f"read_parquet('{d}/zones.parquet')"
+    points = f"read_parquet('{d}/points.parquet')"
+    cents = f"read_parquet('{d}/centroids.parquet')"
+    nd = "CAST(-9999 AS FLOAT)"
+
+    # per-tile partials from ground-truth pixels: the engine's
+    # tile_pixel_partials fold order is row-major -> ORDER BY r, c
+    ps_fold = _fold_sql(
+        "list(CAST(val AS DOUBLE) ORDER BY r, c) FILTER (WHERE val <> " + nd + ")"
+    )
+    zonal = f"""
+        WITH tile AS (
+            SELECT image_id, r // 8 AS tile_y,
+                   CAST(count(*) FILTER (WHERE val <> {nd}) AS BIGINT) AS pn,
+                   {ps_fold} AS ps,
+                   min(CAST(val AS DOUBLE)) FILTER (WHERE val <> {nd}) AS pmin,
+                   max(CAST(val AS DOUBLE)) FILTER (WHERE val <> {nd}) AS pmax
+            FROM {pixels}
+            GROUP BY image_id, r // 8
+        ),
+        cent AS (
+            SELECT t.*,
+                   i.x0 + i.w / 2.0 * i.cellsize AS cx,
+                   i.y0 + (t.tile_y * 8 + 8 / 2.0) * i.cellsize AS cy
+            FROM tile t JOIN {images} i USING (image_id)
+        ),
+        hit AS (
+            SELECT z.zone_id, c.pn, c.ps, c.pmin, c.pmax
+            FROM cent c, {zones} z
+            WHERE {_raycast_sql('c.cx', 'c.cy', 'z.ring')}
+        )
+        SELECT zone_id,
+               CAST(SUM(pn) AS BIGINT) AS n_px,
+               round(CAST(SUM(CAST(ps AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_px,
+               min(pmin) AS min_px, max(pmax) AS max_px,
+               round(CAST(SUM(CAST(ps AS DECIMAL(30,10))) AS DOUBLE)
+                     / CAST(SUM(pn) AS BIGINT), 6) AS mean_px
+        FROM hit GROUP BY zone_id
+    """
+
+    # Horn 3x3 stencil from scratch: 8 neighbor self-joins; the engine's
+    # edge/NODATA policy (any window cell NODATA -> NODATA; outer ring
+    # NODATA) falls out of the inner joins + the 9-way filter
+    slope = f"""
+        WITH px AS (
+            SELECT image_id, r, c, CAST(val AS DOUBLE) AS v FROM {pixels}
+        ),
+        win AS (
+            SELECT e.image_id, e.r, e.c, geo.cellsize,
+                   nw.v AS a, nn.v AS b, ne.v AS cc,
+                   ww.v AS d, e.v AS ee, ee2.v AS f,
+                   sw.v AS g, ss.v AS h, se.v AS i2
+            FROM px e
+            JOIN (SELECT image_id, cellsize FROM {images}) geo USING (image_id)
+            JOIN px nw  ON nw.image_id = e.image_id AND nw.r = e.r - 1 AND nw.c = e.c - 1
+            JOIN px nn  ON nn.image_id = e.image_id AND nn.r = e.r - 1 AND nn.c = e.c
+            JOIN px ne  ON ne.image_id = e.image_id AND ne.r = e.r - 1 AND ne.c = e.c + 1
+            JOIN px ww  ON ww.image_id = e.image_id AND ww.r = e.r     AND ww.c = e.c - 1
+            JOIN px ee2 ON ee2.image_id = e.image_id AND ee2.r = e.r   AND ee2.c = e.c + 1
+            JOIN px sw  ON sw.image_id = e.image_id AND sw.r = e.r + 1 AND sw.c = e.c - 1
+            JOIN px ss  ON ss.image_id = e.image_id AND ss.r = e.r + 1 AND ss.c = e.c
+            JOIN px se  ON se.image_id = e.image_id AND se.r = e.r + 1 AND se.c = e.c + 1
+        ),
+        slp AS (
+            SELECT image_id, r, c,
+                   CAST(degrees(atan(sqrt(
+                       (((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * cellsize))
+                     * (((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * cellsize))
+                     + (((g + 2.0 * h + i2) - (a + 2.0 * b + cc)) / (8.0 * cellsize))
+                     * (((g + 2.0 * h + i2) - (a + 2.0 * b + cc)) / (8.0 * cellsize))
+                   ))) AS FLOAT) AS s
+            FROM win
+            WHERE a <> -9999 AND b <> -9999 AND cc <> -9999
+              AND d <> -9999 AND ee <> -9999 AND f <> -9999
+              AND g <> -9999 AND h <> -9999 AND i2 <> -9999
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               round({_fold_sql("list(CAST(s AS DOUBLE) ORDER BY r, c)")}, 2) AS slope_sum
+        FROM slp GROUP BY image_id, r // 8
+    """
+
+    pip = f"""
+        SELECT p.point_id, z.zone_id
+        FROM {points} p, {zones} z
+        WHERE {_raycast_sql('p.x', 'p.y', 'z.ring')}
+    """
+
+    knn = _knn_sql(
+        points, "TRUE",
+        f"SELECT point_id AS site_id, x, y FROM {points} WHERE point_id % 10 = 0",
+        k=3,
+    )
+
+    tile_sites = f"""
+        SELECT concat_ws('#', image_id, ty) AS site_id,
+               x0 + w / 2.0 * cellsize AS x,
+               y0 + (ty * 8 + 8 / 2.0) * cellsize AS y
+        FROM {images}, unnest(generate_series(0, h // 8 - 1)) AS u(ty)
+    """
+    knn_tiles = _knn_sql(points, "point_id < 200", tile_sites, k=3)
+
+    range_join = f"""
+        WITH s AS (SELECT point_id AS site_id, x, y FROM {points}
+                   WHERE point_id % 7 = 0)
+        SELECT p.point_id, s.site_id,
+               round(sqrt((p.x - s.x) * (p.x - s.x)
+                          + (p.y - s.y) * (p.y - s.y)), 6) AS dist
+        FROM {points} p, s
+        WHERE sqrt((p.x - s.x) * (p.x - s.x) + (p.y - s.y) * (p.y - s.y)) <= 4.0
+    """
+
+    phash = f"""
+        SELECT a.image_id AS image_id_a, b.image_id AS image_id_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        FROM {media} a, {media} b
+        WHERE a.image_id < b.image_id
+          AND bit_count(xor(a.phash, b.phash)) <= 4
+    """
+
+    rasterize = f"""
+        WITH i AS (SELECT * FROM {images} WHERE image_id < 'img000008'),
+        cellpts AS (
+            SELECT i.image_id, rr AS r, cc AS c,
+                   i.x0 + (cc + 0.5) * i.cellsize AS px,
+                   i.y0 + (rr + 0.5) * i.cellsize AS py
+            FROM i,
+                 unnest(generate_series(0, i.h - 1)) AS t1(rr),
+                 unnest(generate_series(0, i.w - 1)) AS t2(cc)
+        ),
+        inz AS (
+            SELECT DISTINCT cp.image_id, cp.r, cp.c
+            FROM cellpts cp, {zones} z
+            WHERE {_raycast_sql('cp.px', 'cp.py', 'z.ring')}
+        ),
+        hits AS (
+            SELECT image_id, CAST(r // 16 AS INT) AS tile_y,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM inz GROUP BY image_id, r // 16
+        ),
+        alltiles AS (
+            SELECT image_id, CAST(ty AS INT) AS tile_y
+            FROM i, unnest(generate_series(0, i.h // 16 - 1)) AS u(ty)
+        )
+        SELECT t.image_id, t.tile_y,
+               coalesce(h.n, CAST(0 AS BIGINT)) AS n_zone_px
+        FROM alltiles t LEFT JOIN hits h USING (image_id, tile_y)
+    """
+
+    multimodal = f"""
+        SELECT i.image_id, i.fmt,
+               min(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS min_px,
+               max(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS max_px
+        FROM {media} i JOIN {media_px} p USING (image_id)
+        GROUP BY i.image_id, i.fmt
+    """
+
+    minhash = _jaccard_pairs_sql(f"""
+        t AS (SELECT doc_id,
+                     regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+              FROM documents),
+        sh AS (SELECT doc_id,
+                      CASE WHEN len(toks) >= 3
+                           THEN list_distinct(list_transform(
+                                generate_series(1, len(toks) - 2),
+                                i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
+                           ELSE [array_to_string(toks, ' ')] END AS s
+               FROM t)
+    """, 0.5)
+
+    ngram = _jaccard_pairs_sql(f"""
+        t AS (SELECT doc_id,
+                     lower(regexp_replace(text, '\\s+', ' ', 'g')) AS n
+              FROM documents),
+        sh AS (SELECT doc_id,
+                      list_distinct(list_transform(
+                          generate_series(1, greatest(length(n) - 4, 1)),
+                          i -> substr(n, i, 5))) AS s
+               FROM t)
+    """, 0.5)
+
+    cos_a, cos_b = _dot_sql("a.embedding", "b.embedding"), None
+    na = f"sqrt({_dot_sql('a.embedding', 'a.embedding')})"
+    nb = f"sqrt({_dot_sql('b.embedding', 'b.embedding')})"
+    cosine = f"""
+        WITH p AS (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   {cos_a} / ({na} * {nb}) AS cosine
+            FROM embeddings a, embeddings b
+            WHERE a.vec_id < b.vec_id
+        )
+        SELECT id_a, id_b, round(cosine, 6) AS cosine
+        FROM p WHERE cosine >= 0.35
+    """
+
+    # IVF replay: assign each corpus vector to its argmax-dot centroid,
+    # probe the top-nprobe centroids per query, rank candidates by exact
+    # cosine (ranks only in the output — float-roundoff-proof; argmax/rank
+    # margins for this seeded codebook are >> accumulated ulp differences)
+    qdot = _dot_sql("q.qe", "c.vec")
+    edot = _dot_sql("e.embedding", "c.vec")
+    cand_cos = (f"{_dot_sql('q.qe', 'e.embedding')} / "
+                f"(sqrt({_dot_sql('q.qe', 'q.qe')}) * "
+                f"sqrt({_dot_sql('e.embedding', 'e.embedding')}))")
+    ivf = f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        assign AS (
+            SELECT vec_id, cid AS bucket FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {edot} DESC, c.cid) AS rn
+                FROM e, {cents} c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < 16),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                                          ORDER BY {qdot} DESC, c.cid) AS rn
+                FROM q, {cents} c
+            ) WHERE rn <= 4
+        ),
+        scored AS (
+            SELECT q.qid AS query_id, e.vec_id, {cand_cos} AS cos
+            FROM probe p
+            JOIN assign a ON a.bucket = p.cid
+            JOIN e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= 5
+    """
+
+    return {
+        "r_flagship_zonal": zonal,
+        "r_focal_slope": slope,
+        "r_pip_join": pip,
+        "r_knn_join": knn,
+        "r_knn_tiles": knn_tiles,
+        "r_range_join": range_join,
+        "r_phash_dedup": phash,
+        "r_rasterize": rasterize,
+        "r_multimodal_features": multimodal,
+        "q_minhash_pairs": minhash,
+        "q_ngram_pairs": ngram,
+        "q_cosine_pairs": cosine,
+        "q_ivf_ann": ivf,
+    }
 
 
 # --------------------------------------------------------------------------
@@ -535,14 +924,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_text_stats": _q_text_stats,
             "q_embedding_stats": _q_embedding_stats,
             "q_ann_topk": _q_ann_topk,
-            # rows-only (non-SQL-expressible / approximate / covered by
-            # NumPy goldens in tests/)
-            "q_approx_stats": _q_approx_stats,
+            # oracled via the materialized corpus / exhaustive modes
             "q_minhash_pairs": _q_minhash_pairs,
             "q_ngram_pairs": _q_ngram_pairs,
-            "q_simhash": _q_simhash,
-            "q_ivf_ann": _q_ivf_ann,
             "q_cosine_pairs": _q_cosine_pairs,
+            "q_ivf_ann": _q_ivf_ann,
             "r_flagship_zonal": _r_flagship_zonal,
             "r_focal_slope": _r_focal_slope,
             "r_pip_join": _r_pip_join,
@@ -552,6 +938,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_phash_dedup": _r_phash_dedup,
             "r_rasterize": _r_rasterize,
             "r_multimodal_features": _r_multimodal_features,
+            # rows-only: engine-specific approximation (approx aggs), a
+            # Spark-only hash family (xxhash64 simhash), and the banded-LSH
+            # scale paths whose candidate recall is probabilistic by design
+            # (their exactness bounds are pinned in tests/)
+            "q_approx_stats": _q_approx_stats,
+            "q_simhash": _q_simhash,
+            "q_minhash_pairs_lsh": _q_minhash_pairs_lsh,
+            "q_ngram_pairs_lsh": _q_ngram_pairs_lsh,
+            "q_cosine_pairs_lsh": _q_cosine_pairs_lsh,
         }
     )
     return q
@@ -642,4 +1037,5 @@ def oracle_sql() -> dict[str, str]:
             """,
         }
     )
+    o.update(_corpus_oracles())
     return o

@@ -7,8 +7,9 @@ engine keeps that exact shape:
     python -m pycuda_raster_spark INPUT OUT1 FUNC1 [OUT2 FUNC2 ...]
            [--tile-rows N] [--cores N]
 
-INPUT: an images-table parquet path, or a directory/glob of ESRI ASCII
-Grid (.asc) files. FUNC in {slope, aspect, hillshade}. Each OUT receives a
+INPUT: an images-table parquet path, or a directory/glob of raster files
+(ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
+hillshade}. Each OUT receives a
 parquet tile table for its product (one input pass computes all requested
 products — the reference's multi-output fan-out).
 """
@@ -40,9 +41,9 @@ def main(argv: list[str]) -> int:
         try:
             images = spark.read.parquet(inp)
         except Exception:
-            from .sources.rasters import read_ascii_grid
+            from .sources.rasters import read_raster_files
 
-            images = read_ascii_grid(spark, inp)
+            images = read_raster_files(spark, inp)
     else:
         images = spark.read.parquet(inp)
 
@@ -50,7 +51,7 @@ def main(argv: list[str]) -> int:
     fused = decode_focal(images, tile_rows=tile_rows, products=products,
                          partitions=spark.sparkContext.defaultParallelism * 2)
     keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
-            "y0", "caption"]
+            "y0", "crs", "caption"]
     fused = fused.cache()
     for out, func in pairs:
         fused.select(*keep, func).write.mode("overwrite").parquet(out)

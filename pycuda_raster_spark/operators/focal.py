@@ -26,7 +26,7 @@ PRODUCTS = ("slope", "aspect", "hillshade")
 
 FOCAL_SCHEMA = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-    "cellsize double, x0 double, y0 double, caption string, psnr double, "
+    "cellsize double, x0 double, y0 double, crs string, caption string, psnr double, "
     "slope array<float>, aspect array<float>, hillshade array<float>"
 )
 
@@ -47,7 +47,7 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
                 "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
                 "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
                 "h": pdf["h"], "cellsize": pdf["cellsize"], "x0": pdf["x0"],
-                "y0": pdf["y0"], "caption": pdf["caption"],
+                "y0": pdf["y0"], "crs": pdf["crs"], "caption": pdf["caption"],
                 "psnr": pdf["psnr"],
                 "slope": [None] * n, "aspect": [None] * n,
                 "hillshade": [None] * n,
@@ -72,13 +72,13 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
             yield pd.DataFrame(out)
 
     cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
-            "y0", "caption", "psnr", "px", "halo_top", "halo_bot"]
+            "y0", "crs", "caption", "psnr", "px", "halo_top", "halo_bot"]
     return tiles.select(*cols).mapInPandas(gen, schema=FOCAL_SCHEMA)
 
 
 _FUSED_COMMON = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-    "cellsize double, x0 double, y0 double, caption string, phash long, psnr double, "
+    "cellsize double, x0 double, y0 double, crs string, caption string, phash long, psnr double, "
     "{px_cols}, "
     "pn bigint, ps double, pss double, pmin double, pmax double"
 )
@@ -134,8 +134,8 @@ def decode_focal(
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-                "x0", "y0", "caption", "phash", "psnr", "slope", "aspect",
-                "hillshade", "pn", "ps", "pss", "pmin", "pmax")}
+                "x0", "y0", "crs", "caption", "phash", "psnr", "slope",
+                "aspect", "hillshade", "pn", "ps", "pss", "pmin", "pmax")}
             for row in pdf.itertuples(index=False):
                 w, h = int(row.w), int(row.h)
                 grid = codecs.decode(row.bytes, row.fmt, w, h)
@@ -161,6 +161,7 @@ def decode_focal(
                     out["cellsize"].append(float(row.cellsize))
                     out["x0"].append(float(row.x0))
                     out["y0"].append(float(row.y0))
+                    out["crs"].append(row.crs)
                     out["caption"].append(row.caption)
                     out["phash"].append(int(row.phash))
                     out["psnr"].append(p)
@@ -182,7 +183,7 @@ def decode_focal(
             yield pd.DataFrame(out)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            "cellsize", "x0", "y0"]
+            "cellsize", "x0", "y0", "crs"]
     schema = FUSED_SCHEMA_BIN if as_binary else FUSED_SCHEMA
     return images.select(*cols).mapInPandas(gen, schema=schema)
 
@@ -230,6 +231,7 @@ def decode_focal_arrow(
             col = {name: rb.column(i) for i, name in enumerate(rb.schema.names)}
             ids = col["image_id"].to_pylist()
             caps = col["caption"].to_pylist()
+            crss = col["crs"].to_pylist()
             fmts = col["fmt"].to_pylist()
             ws = col["w"].to_numpy()
             hs = col["h"].to_numpy()
@@ -241,7 +243,7 @@ def decode_focal_arrow(
 
             o: dict[str, list] = {k: [] for k in (
                 "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-                "x0", "y0", "caption", "phash", "psnr",
+                "x0", "y0", "crs", "caption", "phash", "psnr",
                 "pn", "ps", "pss", "pmin", "pmax")}
             prod_chunks: dict[str, list[bytes]] = {p: [] for p in PRODUCTS}
             prod_lens: dict[str, list[int]] = {p: [] for p in PRODUCTS}
@@ -272,6 +274,7 @@ def decode_focal_arrow(
                     o["cellsize"].append(float(css[i]))
                     o["x0"].append(float(x0s[i]))
                     o["y0"].append(float(y0s[i]))
+                    o["crs"].append(crss[i])
                     o["caption"].append(caps[i])
                     o["phash"].append(int(phs[i]))
                     o["psnr"].append(p)
@@ -300,6 +303,7 @@ def decode_focal_arrow(
                 pa.array(np.asarray(o["cellsize"], np.float64)),
                 pa.array(np.asarray(o["x0"], np.float64)),
                 pa.array(np.asarray(o["y0"], np.float64)),
+                pa.array(o["crs"], pa.string()),
                 pa.array(o["caption"], pa.string()),
                 pa.array(np.asarray(o["phash"], np.int64)),
                 pa.array(np.asarray(o["psnr"], np.float64)),
@@ -313,17 +317,18 @@ def decode_focal_arrow(
                 pa.array(o["pmax"], pa.float64()),
             ]
             names = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-                     "x0", "y0", "caption", "phash", "psnr", "slope", "aspect",
-                     "hillshade", "pn", "ps", "pss", "pmin", "pmax"]
+                     "x0", "y0", "crs", "caption", "phash", "psnr", "slope",
+                     "aspect", "hillshade", "pn", "ps", "pss", "pmin", "pmax"]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
-            "cellsize", "x0", "y0"]
+            "cellsize", "x0", "y0", "crs"]
     schema = (
         "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-        "cellsize double, x0 double, y0 double, caption string, phash long, "
-        "psnr double, slope binary, aspect binary, hillshade binary, "
-        "pn bigint, ps double, pss double, pmin double, pmax double"
+        "cellsize double, x0 double, y0 double, crs string, caption string, "
+        "phash long, psnr double, slope binary, aspect binary, "
+        "hillshade binary, pn bigint, ps double, pss double, "
+        "pmin double, pmax double"
     )
     return images.select(*cols).mapInArrow(gen, schema=schema)
 

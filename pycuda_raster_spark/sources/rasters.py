@@ -8,9 +8,10 @@ public repo description). Spark-native equivalents:
   table (B:15) straight from Parquet (predicate pushdown + column pruning
   come free).
 * ``read_raster_files``    — loose raster files via ``binaryFile``:
-  (path, bytes) rows decoded by extension; our raw/png codecs stand in for
-  GDAL (absent in sandbox). GeoTIFF proper is stubbed with
-  NotImplementedError until a GDAL wheel exists in the image.
+  (path, bytes) rows decoded by extension/magic. GeoTIFF is REAL since
+  round 2 via the pure-NumPy strip codec in sources/geotiff.py (GDAL is
+  absent in the sandbox); ``read_geotiff``/``export_geotiffs`` cover both
+  directions with georeference + NODATA + CRS carried end-to-end.
 * ``read_ascii_grid``      — a REAL ESRI ASCII Grid (.asc) parser: 6-line
   header (ncols nrows xllcorner yllcorner cellsize NODATA_value) +
   whitespace rows, parsed batch-wise in mapInPandas, emitting the engine's
@@ -29,7 +30,8 @@ from ..functions import codecs
 
 IMAGES_GEO_SCHEMA = (
     "image_id string, bytes binary, w int, h int, fmt string, caption string, "
-    "phash long, x0 double, y0 double, cellsize double, nodata double"
+    "phash long, x0 double, y0 double, cellsize double, nodata double, "
+    "crs string"
 )
 
 
@@ -86,7 +88,7 @@ def read_ascii_grid(spark: SparkSession, path_glob: str) -> DataFrame:
         for pdf in batches:
             rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
                                     "caption", "phash", "x0", "y0",
-                                    "cellsize", "nodata")}
+                                    "cellsize", "nodata", "crs")}
             for r in pdf.itertuples(index=False):
                 grid, hdr = parse_ascii_grid(bytes(r.content).decode("ascii"))
                 name = r.path.rsplit("/", 1)[-1]
@@ -101,6 +103,7 @@ def read_ascii_grid(spark: SparkSession, path_glob: str) -> DataFrame:
                 rows["y0"].append(hdr.get("yllcorner", 0.0))
                 rows["cellsize"].append(hdr.get("cellsize", 1.0))
                 rows["nodata"].append(codecs.NODATA)
+                rows["crs"].append("ENGINE:PLANE")  # .asc carries no CRS
             yield pd.DataFrame(rows)
 
     return files.select("path", "content").mapInPandas(gen, schema=IMAGES_GEO_SCHEMA)
@@ -155,12 +158,154 @@ def export_ascii_grids(
     return n
 
 
-def read_raster_files(spark: SparkSession, path_glob: str) -> DataFrame:
-    """Loose raster files by extension: .asc -> real parser; .tif/.tiff ->
-    NotImplementedError (GDAL absent — the stub documents the contract)."""
-    if path_glob.endswith((".tif", ".tiff")):
-        raise NotImplementedError(
-            "GeoTIFF requires GDAL, which this environment lacks; "
-            "use parquet images tables or .asc grids"
+def read_geotiff(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Directory/glob of GeoTIFF files -> images-with-geo DataFrame
+    (same shape as read_ascii_grid). Pure-NumPy strip codec
+    (sources/geotiff.py) stands in for GDAL — single-band float32/uint16,
+    none/deflate strips, ModelPixelScale/Tiepoint + GDAL_NODATA + CRS
+    citation honored. binaryFile scan -> batched parse (no per-row
+    Python)."""
+    from ..functions.phash import phash64
+    from .geotiff import decode_geotiff
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "x0", "y0",
+                                    "cellsize", "nodata", "crs")}
+            for r in pdf.itertuples(index=False):
+                grid, hdr = decode_geotiff(bytes(r.content))
+                name = r.path.rsplit("/", 1)[-1]
+                rows["image_id"].append(name)
+                rows["bytes"].append(codecs.encode(grid, "raw"))
+                rows["w"].append(grid.shape[1])
+                rows["h"].append(grid.shape[0])
+                rows["fmt"].append("raw")
+                rows["caption"].append(f"geotiff {name} crs={hdr.get('crs')}")
+                rows["phash"].append(phash64(grid))
+                rows["x0"].append(hdr["x0"])
+                rows["y0"].append(hdr["y0"])
+                rows["cellsize"].append(hdr["cellsize"])
+                rows["nodata"].append(codecs.NODATA)
+                rows["crs"].append(hdr.get("crs") or "ENGINE:PLANE")
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(gen, schema=IMAGES_GEO_SCHEMA)
+
+
+def export_geotiffs(
+    tiles: DataFrame,
+    out_dir: str,
+    value_col: str = "px",
+    nodata: float = codecs.NODATA,
+    crs: str = "ENGINE:PLANE",
+    compression: str = "deflate",
+    max_files: int | None = 10_000,
+) -> int:
+    """Sink: reassemble per-image grids from tiles and write one GeoTIFF
+    per image — the reference's dataSaver role with the input's
+    georeference + NODATA + CRS. One-file-per-image text/tiff output is
+    inherently a driver-side small-file sink (the parquet tile table is
+    the scale sink); ``max_files`` guards against accidentally funnelling
+    a corpus through the driver."""
+    import os
+
+    from .geotiff import encode_geotiff
+
+    os.makedirs(out_dir, exist_ok=True)
+    is_binary = dict(tiles.dtypes)[value_col] == "binary"
+    has_crs = "crs" in tiles.columns  # per-image CRS overrides the default
+    cols = ["image_id", "ty0", "th", "w", "h", "x0", "y0", "cellsize", value_col]
+    if has_crs:
+        cols.append("crs")
+    it = tiles.select(*cols).orderBy("image_id", "ty0").toLocalIterator()
+    n = 0
+    cur, parts = None, []
+
+    def flush():
+        nonlocal n
+        if cur is None:
+            return
+        iid, w, h, x0, y0, cs, img_crs = cur
+        grid = np.vstack(parts)
+        assert grid.shape == (h, w), (grid.shape, h, w)
+        name = iid if str(iid).endswith((".tif", ".tiff")) else f"{iid}.tif"
+        with open(f"{out_dir}/{name}", "wb") as f:
+            f.write(encode_geotiff(grid, x0=x0, y0=y0, cellsize=cs,
+                                   nodata=nodata, crs=img_crs,
+                                   compression=compression))
+        n += 1
+        if max_files is not None and n > max_files:
+            raise RuntimeError(
+                f"export_geotiffs exceeded max_files={max_files}; "
+                "use the parquet tile sink for corpus-scale output"
+            )
+
+    for r in it:
+        key = (r.image_id, r.w, r.h, r.x0, r.y0, r.cellsize,
+               r.crs if has_crs else crs)
+        if cur is not None and key[0] != cur[0]:
+            flush()
+            parts = []
+        cur = key
+        v = r[value_col]
+        block = (
+            np.frombuffer(bytes(v), dtype="<f4")
+            if is_binary
+            else np.asarray(v, dtype=np.float32)
         )
-    return read_ascii_grid(spark, path_glob)
+        parts.append(block.reshape(r.th, r.w))
+    flush()
+    return n
+
+
+def read_raster_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """Loose raster files: .asc -> ESRI ASCII Grid parser; .tif/.tiff ->
+    pure-NumPy GeoTIFF codec (real since round 2). A directory/glob with
+    mixed content dispatches per file by magic bytes, one binaryFile scan."""
+    if path_glob.endswith(".asc"):
+        return read_ascii_grid(spark, path_glob)
+    if path_glob.endswith((".tif", ".tiff")):
+        return read_geotiff(spark, path_glob)
+
+    from ..functions.phash import phash64
+    from .geotiff import decode_geotiff
+
+    files = spark.read.format("binaryFile").load(path_glob)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "bytes", "w", "h", "fmt",
+                                    "caption", "phash", "x0", "y0",
+                                    "cellsize", "nodata", "crs")}
+            for r in pdf.itertuples(index=False):
+                blob = bytes(r.content)
+                name = r.path.rsplit("/", 1)[-1]
+                if blob[:2] in (b"II", b"MM"):
+                    grid, hdr = decode_geotiff(blob)
+                    caption = f"geotiff {name} crs={hdr.get('crs')}"
+                    file_crs = hdr.get("crs") or "ENGINE:PLANE"
+                else:
+                    grid, hdr = parse_ascii_grid(blob.decode("ascii"))
+                    hdr = {"x0": hdr.get("xllcorner", 0.0),
+                           "y0": hdr.get("yllcorner", 0.0),
+                           "cellsize": hdr.get("cellsize", 1.0)}
+                    caption = f"ascii grid {name}"
+                    file_crs = "ENGINE:PLANE"
+                rows["image_id"].append(name)
+                rows["bytes"].append(codecs.encode(grid, "raw"))
+                rows["w"].append(grid.shape[1])
+                rows["h"].append(grid.shape[0])
+                rows["fmt"].append("raw")
+                rows["caption"].append(caption)
+                rows["phash"].append(phash64(grid))
+                rows["x0"].append(hdr["x0"])
+                rows["y0"].append(hdr["y0"])
+                rows["cellsize"].append(hdr["cellsize"])
+                rows["nodata"].append(codecs.NODATA)
+                rows["crs"].append(file_crs)
+            yield pd.DataFrame(rows)
+
+    return files.select("path", "content").mapInPandas(gen, schema=IMAGES_GEO_SCHEMA)
