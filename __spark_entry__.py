@@ -7,10 +7,13 @@
                      the sf0.001 documents table.
 ``queries()``      — one entry per implemented operator family
                      (SURVEY.md §2); callables take (spark, sf_dir).
-``oracle_sql()``   — DuckDB-equivalent SQL for every SQL-expressible query.
-                     Keys absent here (r_* spatial/LSH/ANN entries) get the
-                     driver's rows-only check — their exact correctness is
-                     covered by tests/ against NumPy brute-force goldens.
+``oracle_sql()``   — DuckDB-equivalent SQL for every query, including the
+                     spatial/raster/LSH/ANN suite (their oracles re-derive
+                     the results from a MATERIALIZED ground-truth corpus —
+                     see oracle_corpus.py and _corpus_oracles below). Only
+                     engine-approximate queries (approx aggs), the
+                     Spark-only simhash, and the probabilistic banded-LSH
+                     scale paths stay rows-only (bounds pinned in tests/).
 
 Determinism rules used throughout so value-hashes match across engines:
   * no raw DOUBLE SUMs — monetary/quantity aggregates go through DECIMAL
@@ -368,6 +371,27 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
 
 
+def _q_ivf_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """join-based IVF ANN (queries stay a DataFrame — the corpus-scale
+    query-table path). Same codebook/nprobe as q_ivf_ann, identical
+    results, so it shares the SQL replay oracle."""
+    from pycuda_raster_spark import oracle_corpus as oc
+    from pycuda_raster_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_join,
+        seeded_centroids,
+    )
+
+    _register(spark, sf_dir)
+    _corpus_dir()
+    emb = spark.table("embeddings")
+    cents = seeded_centroids(oc.EMB_DIM, oc.N_CENTROIDS, seed=oc.SEED)
+    queries = emb.filter(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return ivf_topk_join(ivf_assign(emb, cents), queries, cents, k=5,
+                         nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
+
+
 # ---- materialized-corpus spatial queries. The corpus (images + ground-
 # ---- truth decoded pixels + points/zones/centroids) is written ONCE to
 # ---- parquet (pycuda_raster_spark/oracle_corpus.py), so DuckDB oracles
@@ -417,6 +441,38 @@ def _r_focal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "tile_y",
         F.size(valid).cast("long").alias("n_valid"),
         F.round(F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")), 2).alias("slope_sum"),
+    )
+
+
+def _r_focal_aspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """aspect (op 2.6-30): per-tile valid count + sequential-fold sum of the
+    float32 aspect values (the oracle replays the fold in (r, c) order)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import focal_products
+
+    images, _, _ = _corpus(spark)
+    out = focal_products(decode_tiles(images, tile_rows=8))
+    valid = F.filter("aspect", lambda v: v != F.lit(-9999.0))
+    return out.select(
+        "image_id", "tile_y",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.round(F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")), 2).alias("aspect_sum"),
+    )
+
+
+def _r_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """hillshade (op 2.6-31): values are rint()'d integers in [0, 255], so
+    their sum is EXACT in any order — the most robust float oracle there is."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import focal_products
+
+    images, _, _ = _corpus(spark)
+    out = focal_products(decode_tiles(images, tile_rows=8))
+    valid = F.filter("hillshade", lambda v: v != F.lit(-9999.0))
+    return out.select(
+        "image_id", "tile_y",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")).alias("hs_sum"),
     )
 
 
@@ -487,10 +543,11 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_cosine_pairs_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """the banded-LSH scale path (rows-only: probabilistic candidate
     recall; precision + recall pinned by tests/test_similarity.py)."""
+    from pycuda_raster_spark import oracle_corpus as oc
     from pycuda_raster_spark.operators.similarity import cosine_pairs
 
     _register(spark, sf_dir)
-    out = cosine_pairs(spark.table("embeddings"), threshold=0.35)
+    out = cosine_pairs(spark.table("embeddings"), threshold=0.35, dim=oc.EMB_DIM)
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
@@ -672,9 +729,12 @@ def _corpus_oracles() -> dict[str, str]:
 
     # Horn 3x3 stencil from scratch: 8 neighbor self-joins; the engine's
     # edge/NODATA policy (any window cell NODATA -> NODATA; outer ring
-    # NODATA) falls out of the inner joins + the 9-way filter
-    slope = f"""
-        WITH px AS (
+    # NODATA) falls out of the inner joins + the 9-way filter. dzdx/dzdy
+    # are the gradient CTE; slope/aspect/hillshade oracles share it.
+    dzdx = "(((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * cellsize))"
+    dzdy = "(((g + 2.0 * h + i2) - (a + 2.0 * b + cc)) / (8.0 * cellsize))"
+    horn_win = f"""
+        px AS (
             SELECT image_id, r, c, CAST(val AS DOUBLE) AS v FROM {pixels}
         ),
         win AS (
@@ -692,24 +752,74 @@ def _corpus_oracles() -> dict[str, str]:
             JOIN px sw  ON sw.image_id = e.image_id AND sw.r = e.r + 1 AND sw.c = e.c - 1
             JOIN px ss  ON ss.image_id = e.image_id AND ss.r = e.r + 1 AND ss.c = e.c
             JOIN px se  ON se.image_id = e.image_id AND se.r = e.r + 1 AND se.c = e.c + 1
+            WHERE nw.v <> -9999 AND nn.v <> -9999 AND ne.v <> -9999
+              AND ww.v <> -9999 AND e.v <> -9999 AND ee2.v <> -9999
+              AND sw.v <> -9999 AND ss.v <> -9999 AND se.v <> -9999
         ),
+        grad AS (
+            SELECT image_id, r, c, {dzdx} AS dzdx, {dzdy} AS dzdy
+            FROM win
+        )
+    """
+    slope = f"""
+        WITH {horn_win},
         slp AS (
             SELECT image_id, r, c,
-                   CAST(degrees(atan(sqrt(
-                       (((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * cellsize))
-                     * (((cc + 2.0 * f + i2) - (a + 2.0 * d + g)) / (8.0 * cellsize))
-                     + (((g + 2.0 * h + i2) - (a + 2.0 * b + cc)) / (8.0 * cellsize))
-                     * (((g + 2.0 * h + i2) - (a + 2.0 * b + cc)) / (8.0 * cellsize))
-                   ))) AS FLOAT) AS s
-            FROM win
-            WHERE a <> -9999 AND b <> -9999 AND cc <> -9999
-              AND d <> -9999 AND ee <> -9999 AND f <> -9999
-              AND g <> -9999 AND h <> -9999 AND i2 <> -9999
+                   CAST(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS FLOAT) AS s
+            FROM grad
         )
         SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
                CAST(count(*) AS BIGINT) AS n_valid,
                round({_fold_sql("list(CAST(s AS DOUBLE) ORDER BY r, c)")}, 2) AS slope_sum
         FROM slp GROUP BY image_id, r // 8
+    """
+
+    # aspect: compass degrees = mod(90 - degrees(atan2(dzdy, -dzdx)), 360),
+    # flat (both gradients exactly 0) -> -1. np.mod(x, 360) == fmod + 360
+    # correction — replayed literally so the doubles match before the
+    # float32 cast absorbs transcendental ulps
+    asp_math = "degrees(atan2(dzdy, -dzdx))"
+    raw = f"fmod(90.0 - {asp_math}, 360.0)"
+    aspect_expr = (
+        f"CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN -1.0 "
+        f"WHEN {raw} < 0 THEN {raw} + 360.0 ELSE {raw} END"
+    )
+    aspect = f"""
+        WITH {horn_win},
+        asp AS (
+            SELECT image_id, r, c, CAST({aspect_expr} AS FLOAT) AS s
+            FROM grad
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               round({_fold_sql("list(CAST(s AS DOUBLE) ORDER BY r, c)")}, 2) AS aspect_sum
+        FROM asp GROUP BY image_id, r // 8
+    """
+
+    # hillshade: 255*(cos(zen)cos(slp) + sin(zen)sin(slp)cos(az - asp)),
+    # clipped to [0, 255] and rint()'d -> INTEGER-valued floats, so the sum
+    # is exact in any order (no fold replay needed)
+    slope_rad = "atan(sqrt(dzdx * dzdx + dzdy * dzdy))"
+    asp_for_hs = (
+        f"CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0 "
+        f"WHEN {raw} < 0 THEN {raw} + 360.0 ELSE {raw} END"
+    )
+    hs_expr = (
+        f"255.0 * (cos(radians(45.0)) * cos({slope_rad}) + "
+        f"sin(radians(45.0)) * sin({slope_rad}) * "
+        f"cos(radians(315.0) - radians({asp_for_hs})))"
+    )
+    hillshade = f"""
+        WITH {horn_win},
+        hs AS (
+            SELECT image_id, r, c,
+                   CAST(round(greatest(least({hs_expr}, 255.0), 0.0), 0) AS FLOAT) AS s
+            FROM grad
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) AS hs_sum
+        FROM hs GROUP BY image_id, r // 8
     """
 
     pip = f"""
@@ -811,7 +921,7 @@ def _corpus_oracles() -> dict[str, str]:
                FROM t)
     """, 0.5)
 
-    cos_a, cos_b = _dot_sql("a.embedding", "b.embedding"), None
+    cos_a = _dot_sql("a.embedding", "b.embedding")
     na = f"sqrt({_dot_sql('a.embedding', 'a.embedding')})"
     nb = f"sqrt({_dot_sql('b.embedding', 'b.embedding')})"
     cosine = f"""
@@ -872,6 +982,8 @@ def _corpus_oracles() -> dict[str, str]:
     return {
         "r_flagship_zonal": zonal,
         "r_focal_slope": slope,
+        "r_focal_aspect": aspect,
+        "r_focal_hillshade": hillshade,
         "r_pip_join": pip,
         "r_knn_join": knn,
         "r_knn_tiles": knn_tiles,
@@ -883,6 +995,7 @@ def _corpus_oracles() -> dict[str, str]:
         "q_ngram_pairs": ngram,
         "q_cosine_pairs": cosine,
         "q_ivf_ann": ivf,
+        "q_ivf_ann_join": ivf,
     }
 
 
@@ -929,8 +1042,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_ngram_pairs": _q_ngram_pairs,
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,
+            "q_ivf_ann_join": _q_ivf_ann_join,
             "r_flagship_zonal": _r_flagship_zonal,
             "r_focal_slope": _r_focal_slope,
+            "r_focal_aspect": _r_focal_aspect,
+            "r_focal_hillshade": _r_focal_hillshade,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
             "r_knn_tiles": _r_knn_tiles,

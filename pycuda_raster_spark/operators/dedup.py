@@ -273,13 +273,24 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
         out = np.zeros(len(hashes), dtype=np.int64)
         bit_idx = np.arange(64, dtype=np.uint64)
         pow2 = (np.uint64(1) << bit_idx).astype(np.uint64)
-        for i, hs in enumerate(hashes):
-            if hs is None or len(hs) == 0:
-                continue
-            hv = np.asarray(hs, dtype=np.int64).view(np.uint64)
-            bits = ((hv[:, None] >> bit_idx[None, :]) & np.uint64(1)).astype(np.int64)
-            acc = (2 * bits - 1).sum(axis=0)
-            out[i] = int((pow2[acc > 0]).sum().view(np.int64))
+        # fully vectorized across the batch: concatenate every document's
+        # token hashes, expand to a (total_tokens, 64) sign matrix once,
+        # and segment-sum per document with add.reduceat (integer math —
+        # identical results to a per-document loop, no per-row Python)
+        arrs = [None if h is None else np.asarray(h, dtype=np.int64)
+                for h in hashes]
+        keep = [i for i, a in enumerate(arrs) if a is not None and a.size]
+        if not keep:
+            return pd.Series(out)
+        lens = np.array([arrs[i].size for i in keep], dtype=np.int64)
+        flat = np.concatenate([arrs[i] for i in keep]).view(np.uint64)
+        signs = (((flat[:, None] >> bit_idx[None, :]) & np.uint64(1))
+                 .astype(np.int64) * 2 - 1)
+        offsets = np.zeros(len(keep), dtype=np.int64)
+        np.cumsum(lens[:-1], out=offsets[1:])
+        acc = np.add.reduceat(signs, offsets, axis=0)  # (n_docs, 64)
+        vals = ((acc > 0) * pow2[None, :]).sum(axis=1).view(np.int64)
+        out[keep] = vals
         return pd.Series(out)
 
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")

@@ -194,6 +194,74 @@ def _cosine_expr(vec_col: str):
     return dot / (norm("a") * norm("b"))
 
 
+def ivf_topk_join(
+    corpus_bucketed: DataFrame,
+    queries: DataFrame,
+    centroids: np.ndarray,
+    k: int,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Join-based IVF ANN for LARGE query sets — queries stay a DataFrame
+    end to end (``ivf_topk`` collects them to the driver, which is right
+    for dozens of probes but not for a query TABLE at corpus scale).
+
+    Plan: queries explode to their ``nprobe`` probe buckets (batched
+    pandas UDF over the broadcast codebook) -> cogroup with the bucketed
+    corpus on ``bucket`` (one shuffle per side, AQE-splittable keys) ->
+    per-bucket NumPy matmul emits each query's bucket-local top-k ->
+    global window finalizes. Shuffle volume is corpus-once +
+    queries-times-nprobe; candidate pairs never materialize as rows.
+    Results are identical to ivf_topk for the same codebook/nprobe
+    (tests assert equality)."""
+    from pyspark.sql import types as T
+
+    sc = corpus_bucketed.sparkSession.sparkContext
+    bc = sc.broadcast(centroids)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def probes(vecs: pd.Series) -> pd.Series:
+        cent = bc.value
+        m = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
+        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+        return pd.Series(list(order))
+
+    q = queries.withColumn("bucket", F.explode(probes(F.col(vec_col)))).select(
+        F.col(query_id_col).alias("qid"), F.col(vec_col).alias("qvec"), "bucket"
+    )
+    c = corpus_bucketed.select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec"), "bucket"
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        cpdf = cpdf.sort_values("cid", kind="mergesort")
+        qm = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]]))
+        cm = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in cpdf["cvec"]]))
+        scores = qm @ cm.T
+        kk = min(k, scores.shape[1])
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame({
+            "query_id": np.repeat(qpdf["qid"].to_numpy(), kk),
+            "vec_id": cpdf["cid"].to_numpy()[idx.ravel()],
+            "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+        })
+
+    part = q.groupby("bucket").cogroup(c.groupby("bucket")).applyInPandas(
+        score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
+    )
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float = 0.9,
@@ -203,6 +271,7 @@ def cosine_pairs(
     vec_col: str = "embedding",
     seed: int = 42,
     mode: str = "lsh",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs (id_a < id_b, cosine >= threshold) via
     BANDED random-hyperplane LSH + exact JVM cosine verify.
@@ -231,8 +300,10 @@ def cosine_pairs(
                     F.col(f"b.{id_col}").alias("id_b"), "cosine")
         )
 
-    first = corpus.select(F.size(vec_col)).first()
-    dim = int(first[0])
+    if dim is None:
+        # fallback only — pass ``dim`` on hot paths so building the plan
+        # triggers no driver-side Spark job
+        dim = int(corpus.select(F.size(vec_col)).first()[0])
     rng = np.random.default_rng(seed)
     planes = rng.standard_normal((n_bands * band_planes, dim))
     sc = corpus.sparkSession.sparkContext

@@ -50,6 +50,7 @@ def run_pipeline(
     run_id: str | None = None,
     resume: bool = True,
     compute_psnr: bool = True,
+    zones_res: int | None = None,
 ) -> dict:
     """Execute (or resume) the flagship run. Returns summary dict with
     per-stage row counts and the list of buckets processed this run.
@@ -131,7 +132,7 @@ def run_pipeline(
             "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
             "pn", "ps", "pss", "pmin", "pmax",
         )
-        zs = zonal_stats_from_partials(slim, zones)
+        zs = zonal_stats_from_partials(slim, zones, res=zones_res)
         catalog.write(zs, f"{out_dir}/zonal", mode="overwrite")
         summary["zonal_path"] = f"{out_dir}/zonal"
     return summary

@@ -114,6 +114,7 @@ def export_ascii_grids(
     out_dir: str,
     value_col: str = "px",
     nodata: float = codecs.NODATA,
+    max_files: int | None = 10_000,
 ) -> int:
     """Sink: reassemble per-image grids from tiles and write one ``.asc``
     file per image — the saver role of the reference ([ref?: dataSaver.py]
@@ -140,6 +141,11 @@ def export_ascii_grids(
         with open(f"{out_dir}/{iid}.asc", "w") as f:
             f.write(write_ascii_grid(grid, x0, y0, cs, nodata=nodata))
         n += 1
+        if max_files is not None and n > max_files:
+            raise RuntimeError(
+                f"export_ascii_grids exceeded max_files={max_files}; "
+                "use the parquet tile sink for corpus-scale output"
+            )
 
     for r in it:
         key = (r.image_id, r.w, r.h, r.x0, r.y0, r.cellsize)

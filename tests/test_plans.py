@@ -91,6 +91,36 @@ def test_knn_candidate_join_not_cartesian(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_cosine_pairs_lsh_plan_is_banded_equi_join(spark):
+    """The banded hyperplane LSH must candidate-join on (band, key) —
+    never a cartesian/self cross product (the round-1 single-signature
+    design built 2^n_planes buckets whose intra-bucket self-join goes
+    quadratic at corpus scale; (band, key) keys are AQE-skew-splittable)."""
+    from pycuda_raster_spark.operators.similarity import cosine_pairs
+
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7), 1.0, 2.0]) for i in range(50)],
+        "vec_id long, embedding array<float>",
+    )
+    out = cosine_pairs(emb, threshold=0.9, dim=3)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "band" in plan and "key" in plan
+
+
+def test_pip_join_with_res_builds_plan_without_spark_job(spark):
+    """Threading ``res`` through pip_join must not trigger a driver-side
+    job while BUILDING the plan (round-1 ran a first() per call)."""
+    zones = spark.createDataFrame(build_zones(4, res=6))
+    points = spark.createDataFrame(build_points(50, res=6)).drop("cell")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    df = pip_join(points, zones, res=6)
+    _ = df.columns  # force analysis
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction must be job-free"
+
+
 def test_text_ops_are_python_free(spark):
     """Higher-order functions evaluate JVM-side (outside whole-stage
     codegen, which is fine); the property that matters is that NO Python

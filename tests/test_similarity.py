@@ -73,6 +73,25 @@ def test_ivf_recall_against_bruteforce(spark, emb):
         assert [v for _, v in g] == [v for v, _ in want[q]]
 
 
+def test_ivf_topk_join_equals_collect_based(spark, emb):
+    """The distributed-queries IVF join path must produce EXACTLY the
+    collect-based ivf_topk results (same codebook, same nprobe) — it is
+    the same algorithm with the query side kept as a DataFrame."""
+    from pycuda_raster_spark.operators.similarity import ivf_topk_join
+
+    dim = len(emb.select("embedding").first()[0])
+    cents = seeded_centroids(dim, 8)
+    bucketed = ivf_assign(emb, cents).cache()
+    queries = emb.filter(F.col("vec_id") < 12).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r.query_id, r.rank): r.vec_id
+           for r in ivf_topk_join(bucketed, queries, cents, k=5, nprobe=4).collect()}
+    want = {(r.query_id, r.rank): r.vec_id
+            for r in ivf_topk(bucketed, emb.filter(F.col("vec_id") < 12),
+                              cents, k=5, nprobe=4).collect()}
+    assert got == want
+
+
 def test_cosine_pairs_precision(spark, emb):
     got = cosine_pairs(emb.limit(200), threshold=0.8).collect()
     pdf = emb.limit(200).toPandas()

@@ -90,3 +90,25 @@ def test_rasterize_zones_vs_raycast(spark):
                     assert mask[yi, xi] in hits
                     checked_hits += 1
     assert checked_hits > 0, "rasterize test exercised no in-zone pixels"
+
+
+def test_zonal_exact_sums_partitioning_invariant(spark):
+    """exact_sums=True routes partial sums through DECIMAL: the result must
+    be BIT-IDENTICAL across partitionings (a raw double SUM over a shuffled
+    set is not — that is the 1000-executor reproducibility property)."""
+    images, _, _ = _images_with_geo(spark)
+    zones_df = spark.createDataFrame(build_zones(10, res=RES))
+
+    def run(npart):
+        tiles = decode_tiles(images.repartition(npart), tile_rows=TILE_ROWS)
+        out = zonal_stats(tiles, zones_df, res=RES, exact_sums=True)
+        return {r.zone_id: (r.n_px, r.sum_px, r.min_px, r.max_px)
+                for r in out.collect()}
+
+    a, b = run(1), run(13)
+    assert a == b, "decimal-routed sums must not depend on partitioning"
+    # and the values agree with the float path to rounding noise
+    tiles = decode_tiles(images, tile_rows=TILE_ROWS)
+    approx = {r.zone_id: r.sum_px for r in zonal_stats(tiles, zones_df, res=RES).collect()}
+    for z, (_, s, _, _) in a.items():
+        assert abs(approx[z] - s) < 1e-6 * max(abs(s), 1.0)

@@ -95,7 +95,7 @@ zonal_stats_from_partials(
 from pycuda_raster_spark.operators.dedup import minhash_lsh_pairs
 from pycuda_raster_spark.operators.similarity import ivf_assign, ivf_topk, seeded_centroids
 from pyspark.sql import functions as F
-rep = int(sys.argv[5]) if len(sys.argv) > 5 else 10
+rep = int(sys.argv[5]) if len(sys.argv) > 5 else 20
 docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 docs = spark.range(rep).crossJoin(docs).select(
     (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"), "text"
@@ -119,8 +119,17 @@ ivf_topk(ivf_assign(emb.limit(2000), cents), emb.filter(F.col("vec_id") < 8),
          cents, k=10, nprobe=4).count()
 
 p = gate()
-t0 = time.time(); pipeline_compute(); w = time.time() - t0
-t0 = time.time(); lsh_compute(); w_lsh = time.time() - t0
+# best-of-2 per workload: host slowdowns are one-sided contamination
+# (CLAUDE.md best-of-N protocol); both levels get identical treatment so
+# the within-pair ratio stays unbiased
+def best_of(fn, k=2):
+    best = float("inf")
+    for _ in range(k):
+        t0 = time.time(); fn(); best = min(best, time.time() - t0)
+    return best
+
+w = best_of(pipeline_compute)
+w_lsh = best_of(lsh_compute)
 n_tiles = n_images * ((edge + 63) // 64)
 print(json.dumps({"cores": cores, "sec": round(w, 2), "lsh_sec": round(w_lsh, 2),
                   "probe": p, "tiles": n_tiles,
@@ -185,8 +194,8 @@ inside the VM's observed effective capacity (~10-16 cores' worth) so the
 engine, not the hypervisor ceiling, is measured.
 
 Two workloads per run: the flagship raster pipeline, and the dedup/ANN
-family (banded MinHash-LSH near-dup pairs over 10x-replicated sf0.1
-documents + IVF top-k over 10x-replicated sf0.1 embeddings) whose band
+family (banded MinHash-LSH near-dup pairs over replicated sf0.1
+documents + IVF top-k over replicated sf0.1 embeddings) whose band
 join + window shapes stress the shuffle paths the raster stage avoids.
 
 | pair | raster local[{lo_cores}] s @ probe | local[{hi_cores}] s @ probe | ratio | lsh local[{lo_cores}] s | local[{hi_cores}] s | lsh ratio |
