@@ -35,7 +35,7 @@ def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
         build_zones,
         images_df_distributed,
     )
-    from pycuda_raster_spark.operators.focal import decode_focal
+    from pycuda_raster_spark.operators.focal import decode_focal_arrow
     from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
 
     spec = CorpusSpec(n_images=n_images, w=img_edge, h=img_edge)
@@ -50,18 +50,18 @@ def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
     SLIM = ["image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
             "pn", "ps", "pss", "pmin", "pmax"]
     # warm the exact pipeline on a small slice (worker imports + codegen)
-    decode_focal(images.limit(32), tile_rows=64).write.format("noop").mode(
+    decode_focal_arrow(images.limit(32), tile_rows=64).write.format("noop").mode(
         "overwrite").save()
 
     t0 = time.time()
-    decode_focal(images, tile_rows=64).write.format("noop").mode("overwrite").save()
+    decode_focal_arrow(images, tile_rows=64).write.format("noop").mode("overwrite").save()
     zs = zonal_stats_from_partials(
-        decode_focal(images, tile_rows=64, products=()).select(*SLIM), zones)
+        decode_focal_arrow(images, tile_rows=64, products=()).select(*SLIM), zones)
     zrows = zs.collect()
     dt = time.time() - t0
 
     t0 = time.time()
-    decode_focal(images, tile_rows=64).write.mode("overwrite").parquet(
+    decode_focal_arrow(images, tile_rows=64).write.mode("overwrite").parquet(
         "/dev/shm/bench_tiles")
     sink_sec = time.time() - t0
 

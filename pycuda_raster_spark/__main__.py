@@ -27,7 +27,7 @@ def main(argv: list[str]) -> int:
         return 2
     inp, pairs = args[0], list(zip(args[1::2], args[2::2]))
     products = tuple(func for _, func in pairs)
-    from .operators.focal import PRODUCTS, decode_focal
+    from .operators.focal import PRODUCTS, decode_focal_arrow as decode_focal
 
     bad = set(products) - set(PRODUCTS)
     if bad:

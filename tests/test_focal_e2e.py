@@ -120,6 +120,29 @@ def test_fused_decode_focal_equals_composed(spark, images_df):
             assert abs(r.ps - v.sum()) < 1e-6
 
 
+def test_decode_focal_arrow_equals_pandas(spark, images_df):
+    """The mapInArrow variant (the bench/pipeline hot path since round 2)
+    must emit exactly the same rows as decode_focal(as_binary=True) —
+    every column, bitwise."""
+    from pycuda_raster_spark.operators.focal import decode_focal, decode_focal_arrow
+
+    cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
+            "y0", "crs", "caption", "phash", "slope", "aspect", "hillshade",
+            "pn", "ps", "pss", "pmin", "pmax"]
+    key = lambda r: (r.image_id, r.tile_y)  # noqa: E731
+    a = {key(r): r for r in decode_focal(images_df, tile_rows=16).select(*cols).collect()}
+    b = {key(r): r for r in decode_focal_arrow(images_df, tile_rows=16).select(*cols).collect()}
+    assert set(a) == set(b) and len(a) > 0
+    for k in a:
+        ra, rb = a[k], b[k]
+        for c in cols:
+            va, vb = getattr(ra, c), getattr(rb, c)
+            if isinstance(va, (bytes, bytearray)):
+                assert bytes(va) == bytes(vb), (k, c)
+            else:
+                assert va == vb, (k, c, va, vb)
+
+
 def test_caption_passthrough(spark, images_df):
     """Caption equality end-to-end (BASELINE.json:15)."""
     tiles = decode_tiles(images_df, tile_rows=16)

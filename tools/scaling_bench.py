@@ -62,7 +62,7 @@ def gate(max_wait=600):
 
 from pycuda_raster_spark.session import get_spark
 from pycuda_raster_spark.fixtures import CorpusSpec, build_zones, images_df_distributed
-from pycuda_raster_spark.operators.focal import decode_focal
+from pycuda_raster_spark.operators.focal import decode_focal_arrow as decode_focal
 from pycuda_raster_spark.operators.zonal import zonal_stats_from_partials
 
 spark = get_spark(f"scale{cores}", cores=cores, shuffle_partitions=cores,
