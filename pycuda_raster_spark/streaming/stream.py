@@ -4,8 +4,9 @@ The reference's pipeline is a bounded stream with backpressure via process
 pipes ([ref?: scheduler.py 3-process design]). The Spark-native incremental
 mode: ``readStream`` over the images table directory with
 ``Trigger.AvailableNow`` + checkpoint — newly landed image files are
-processed exactly once per start, and a restart resumes from the
-checkpoint offsets. The per-batch body is the SAME batch pipeline
+delivered in exactly one epoch, each epoch's sink write is idempotent
+(per-epoch overwrite), and a restart resumes from the checkpoint offsets
+— effectively-once end to end. The per-batch body is the SAME batch pipeline
 (decode -> stencil), so batch and streaming share one code path via
 ``foreachBatch``.
 
