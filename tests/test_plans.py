@@ -108,6 +108,29 @@ def test_cosine_pairs_lsh_plan_is_banded_equi_join(spark):
     assert "band" in plan and "key" in plan
 
 
+def test_ivf_topk_join_plan_is_bucket_cogroup(spark):
+    """The distributed-queries ANN must candidate-match via the bucket
+    cogroup — no cartesian product of queries x corpus anywhere."""
+    import numpy as np
+
+    from pycuda_raster_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk_join,
+        seeded_centroids,
+    )
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 7 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    cents = seeded_centroids(8, 4)
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    out = ivf_topk_join(ivf_assign(emb, cents), q, cents, k=3, nprobe=2)
+    plan = plan_of(out)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
 def test_pip_join_with_res_builds_plan_without_spark_job(spark):
     """Threading ``res`` through pip_join must not trigger a driver-side
     job while BUILDING the plan (round-1 ran a first() per call)."""

@@ -86,6 +86,39 @@ def test_geotiff_roundtrip_and_read(spark, tmp_path):
         assert r.cellsize == 30.0 and r.y0 == 50.0
 
 
+def test_geotiff_uint16_and_bigendian_read():
+    """The reader claims uint16 and big-endian support — pin both with a
+    hand-built minimal TIFF (external files won't come from our writer)."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff
+
+    w, h = 3, 2
+    vals = np.array([[10, 20, 30], [40, 50, 60]], dtype=np.uint16)
+    for bo, order in (("<", b"II"), (">", b"MM")):
+        data = vals[::-1].astype(bo + "u2").tobytes()  # disk is north-up
+        entries = [
+            (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+            (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, h), (339, 3, 1, 1),
+        ]
+        # strip offset/count point past the IFD
+        ifd_off = 8
+        n = len(entries) + 2
+        data_off = ifd_off + 2 + 12 * n + 4
+        entries += [(273, 4, 1, data_off), (279, 4, 1, len(data))]
+        entries.sort()
+        buf = struct.pack(bo + "2sHI", order, 42, ifd_off)
+        buf += struct.pack(bo + "H", n)
+        for tag, typ, cnt, val in entries:
+            size = {3: 2, 4: 4}[typ]
+            packed = struct.pack(bo + {3: "H", 4: "I"}[typ], val).ljust(4, b"\x00")
+            buf += struct.pack(bo + "HHI", tag, typ, cnt) + packed
+        buf += struct.pack(bo + "I", 0) + data
+        grid, hdr = decode_geotiff(buf)
+        np.testing.assert_array_equal(grid, vals.astype(np.float32))
+        assert (hdr["w"], hdr["h"]) == (w, h)
+
+
 def test_geotiff_e2e_slope_and_export(spark, tmp_path):
     """.tif in -> engine slope -> .tif out; engine result == whole-grid
     NumPy oracle bit-for-bit, and the exported product re-reads exactly."""
