@@ -5,6 +5,13 @@ Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
 line ``{"metric", "value" (total sec), "unit": "sec", "queries": {name:
 sec}, "sf", ...}``.
 
+Protocol change in round 2 (affects cross-round comparison): per-query
+times are best-of-2 (steady state; round 1's single-shot numbers carried a
+~8 s first-query codegen constant in q01) and ``value`` is the sum of the
+per-query bests + the raster pipeline; the minhash headline is the banded
+LSH scale path (``q_minhash_pairs_lsh`` — ``q_minhash_pairs`` itself became
+the exhaustive oracle configuration, quadratic by design).
+
 Headline set:
   * ``raster_pipeline`` — the flagship: synthetic bench corpus (the
     driver-mandated images shape) through decode -> tile+halo -> Horn
