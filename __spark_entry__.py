@@ -313,12 +313,30 @@ def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """exact cosine top-k similarity search (operators/similarity.py).
     Output = (query_id, vec_id, rank) — scores excluded so the oracle
     comparison is float-roundoff-proof (rank margins >> 1e-12)."""
+    from pycuda_raster_spark import oracle_corpus as oc
     from pycuda_raster_spark.operators.similarity import cosine_topk
 
     _register(spark, sf_dir)
     emb = spark.table("embeddings")
-    queries = emb.filter(F.col("vec_id") < 16)
-    return cosine_topk(emb, queries, k=5).select("query_id", "vec_id", "rank")
+    queries = emb.filter(F.col("vec_id") < oc.ANN_QUERIES)
+    return cosine_topk(emb, queries, k=oc.ANN_K).select(
+        "query_id", "vec_id", "rank")
+
+
+def _q_ann_topk_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT cosine top-k with the queries as a DataFrame end to end
+    (cosine_topk_join — block-partitioned cogroup, no collect, recall 1
+    by construction). Same query set / k as q_ann_topk, identical
+    results, so it shares the brute-force SQL oracle."""
+    from pycuda_raster_spark import oracle_corpus as oc
+    from pycuda_raster_spark.operators.similarity import cosine_topk_join
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    queries = emb.filter(F.col("vec_id") < oc.ANN_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "embedding")
+    return cosine_topk_join(emb, queries, k=oc.ANN_K).select(
+        "query_id", "vec_id", "rank")
 
 
 def _q_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -366,8 +384,8 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     _corpus_dir()  # materialize the codebook for the oracle side
     emb = spark.table("embeddings")
     cents = seeded_centroids(oc.EMB_DIM, oc.N_CENTROIDS, seed=oc.SEED)
-    queries = emb.filter(F.col("vec_id") < 16)
-    return ivf_topk(ivf_assign(emb, cents), queries, cents, k=5,
+    queries = emb.filter(F.col("vec_id") < oc.ANN_QUERIES)
+    return ivf_topk(ivf_assign(emb, cents), queries, cents, k=oc.ANN_K,
                     nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
 
 
@@ -386,9 +404,9 @@ def _q_ivf_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     _corpus_dir()
     emb = spark.table("embeddings")
     cents = seeded_centroids(oc.EMB_DIM, oc.N_CENTROIDS, seed=oc.SEED)
-    queries = emb.filter(F.col("vec_id") < 16).select(
+    queries = emb.filter(F.col("vec_id") < oc.ANN_QUERIES).select(
         F.col("vec_id").alias("query_id"), "embedding")
-    return ivf_topk_join(ivf_assign(emb, cents), queries, cents, k=5,
+    return ivf_topk_join(ivf_assign(emb, cents), queries, cents, k=oc.ANN_K,
                          nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
 
 
@@ -682,6 +700,8 @@ def _jaccard_pairs_sql(shingles_cte: str, threshold: float) -> str:
 
 
 def _corpus_oracles() -> dict[str, str]:
+    from pycuda_raster_spark import oracle_corpus as oc
+
     d = _corpus_dir()
     images = f"read_parquet('{d}/images_geo.parquet')"
     pixels = f"read_parquet('{d}/pixels_geo.parquet')"
@@ -955,14 +975,14 @@ def _corpus_oracles() -> dict[str, str]:
             ) WHERE rn = 1
         ),
         q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-              WHERE vec_id < 16),
+              WHERE vec_id < {oc.ANN_QUERIES}),
         probe AS (
             SELECT qid, cid FROM (
                 SELECT q.qid, c.cid,
                        ROW_NUMBER() OVER (PARTITION BY q.qid
                                           ORDER BY {qdot} DESC, c.cid) AS rn
                 FROM q, {cents} c
-            ) WHERE rn <= 4
+            ) WHERE rn <= {oc.NPROBE}
         ),
         scored AS (
             SELECT q.qid AS query_id, e.vec_id, {cand_cos} AS cos
@@ -976,7 +996,7 @@ def _corpus_oracles() -> dict[str, str]:
                    ROW_NUMBER() OVER (PARTITION BY query_id
                                       ORDER BY cos DESC, vec_id) AS rank
             FROM scored
-        ) WHERE rank <= 5
+        ) WHERE rank <= {oc.ANN_K}
     """
 
     return {
@@ -1037,6 +1057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_text_stats": _q_text_stats,
             "q_embedding_stats": _q_embedding_stats,
             "q_ann_topk": _q_ann_topk,
+            "q_ann_topk_join": _q_ann_topk_join,
             # oracled via the materialized corpus / exhaustive modes
             "q_minhash_pairs": _q_minhash_pairs,
             "q_ngram_pairs": _q_ngram_pairs,
@@ -1069,6 +1090,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    from pycuda_raster_spark import oracle_corpus as oc
+
+    # exact brute-force cosine top-k: shared by q_ann_topk (broadcast
+    # path) and q_ann_topk_join (cogroup path) — both are exact with the
+    # same (score DESC, vec_id ASC) tie-break, so one oracle pins both.
+    # k / query-cutoff interpolate from oracle_corpus so engine and
+    # oracle share one definition.
+    ann_topk = f"""
+        WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+                   WHERE vec_id < {oc.ANN_QUERIES}),
+        scored AS (
+            SELECT q.qid AS query_id, e.vec_id,
+                   list_cosine_similarity(CAST(q.qe AS DOUBLE[]),
+                                          CAST(e.embedding AS DOUBLE[])) AS s
+            FROM q, embeddings e
+        ),
+        ranked AS (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY s DESC, vec_id) AS rank
+            FROM scored
+        )
+        SELECT query_id, vec_id, rank FROM ranked WHERE rank <= {oc.ANN_K}
+    """
+
     o = dict(SHARED_SQL)
     o.update(
         {
@@ -1137,20 +1183,8 @@ def oracle_sql() -> dict[str, str]:
                              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'), 6) AS sq_norm
                 FROM embeddings
             """,
-            "q_ann_topk": """
-                WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 16),
-                scored AS (
-                    SELECT q.qid AS query_id, e.vec_id,
-                           list_cosine_similarity(CAST(q.qe AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS s
-                    FROM q, embeddings e
-                ),
-                ranked AS (
-                    SELECT query_id, vec_id,
-                           ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY s DESC, vec_id) AS rank
-                    FROM scored
-                )
-                SELECT query_id, vec_id, rank FROM ranked WHERE rank <= 5
-            """,
+            "q_ann_topk": ann_topk,
+            "q_ann_topk_join": ann_topk,
         }
     )
     o.update(_corpus_oracles())

@@ -60,23 +60,37 @@ def bench_raster(spark, n_images: int, img_edge: int, cpus: int) -> dict:
     decode_focal_arrow(images.limit(32), tile_rows=64).write.format("noop").mode(
         "overwrite").save()
 
-    t0 = time.time()
-    decode_focal_arrow(images, tile_rows=64).write.format("noop").mode("overwrite").save()
-    zs = zonal_stats_from_partials(
-        decode_focal_arrow(images, tile_rows=64, products=()).select(*SLIM), zones)
-    zrows = zs.collect()
-    dt = time.time() - t0
+    # best-of-2, same protocol as every relational query (round 2 left
+    # the raster stage single-shot — the one number exposed to the
+    # documented 3-7x host noise, and the one that regressed in the r2
+    # driver artifact); per-attempt times are disclosed in "attempts"
+    attempts = []
+    for _ in range(2):
+        t0 = time.time()
+        decode_focal_arrow(images, tile_rows=64).write.format("noop").mode(
+            "overwrite").save()
+        zs = zonal_stats_from_partials(
+            decode_focal_arrow(images, tile_rows=64, products=()).select(*SLIM),
+            zones)
+        zrows = zs.collect()
+        attempts.append(round(time.time() - t0, 3))
+    dt = min(attempts)
 
-    t0 = time.time()
-    decode_focal_arrow(images, tile_rows=64).write.mode("overwrite").parquet(
-        "/dev/shm/bench_tiles")
-    sink_sec = time.time() - t0
+    sink_attempts = []
+    for _ in range(2):
+        t0 = time.time()
+        decode_focal_arrow(images, tile_rows=64).write.mode("overwrite").parquet(
+            "/dev/shm/bench_tiles")
+        sink_attempts.append(round(time.time() - t0, 3))
+    sink_sec = min(sink_attempts)
 
     n_tiles = n_images * ((img_edge + 63) // 64)
     n_zone_rows = len(zrows)
     return {
         "sec": dt,
+        "attempts": attempts,
         "sink_sec": round(sink_sec, 3),
+        "sink_attempts": sink_attempts,
         "tiles": n_tiles,
         "zonal_rows": n_zone_rows,
         "pixels_joined": int(sum(r.n_px for r in zrows)),

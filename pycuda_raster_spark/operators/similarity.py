@@ -106,6 +106,11 @@ def ivf_assign(
             if not len(pdf):
                 continue
             m = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]]))
+            if m.shape[1] != cent.shape[1]:
+                raise ValueError(
+                    f"embedding dim {m.shape[1]} != codebook dim "
+                    f"{cent.shape[1]} — rebuild centroids for this table"
+                )
             pdf = pdf.copy()
             pdf["bucket"] = (m @ cent.T).argmax(axis=1).astype(np.int32)
             yield pdf
@@ -132,7 +137,10 @@ def ivf_topk(
     qrows = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("v")).collect()
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     qmat = _normalize(np.array([np.asarray(r.v, dtype=np.float64) for r in qrows]))
-    probes = np.argsort(-(qmat @ centroids.T), axis=1)[:, :nprobe]
+    # stable: exact dot-product ties between centroids resolve to the
+    # lowest cid, matching the oracle's ORDER BY dot DESC, cid (and the
+    # join path's probes UDF — both paths must pick identical probe sets)
+    probes = np.argsort(-(qmat @ centroids.T), axis=1, kind="stable")[:, :nprobe]
     sc = corpus_bucketed.sparkSession.sparkContext
     # query table: (bucket -> [query rows probing it]) broadcast
     by_bucket: dict[int, list[int]] = {}
@@ -225,7 +233,14 @@ def ivf_topk_join(
     def probes(vecs: pd.Series) -> pd.Series:
         cent = bc.value
         m = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in vecs]))
-        order = np.argsort(-(m @ cent.T), axis=1)[:, :nprobe].astype(np.int32)
+        if m.shape[1] != cent.shape[1]:
+            raise ValueError(
+                f"embedding dim {m.shape[1]} != codebook dim "
+                f"{cent.shape[1]} — rebuild centroids for this table"
+            )
+        # stable: centroid-dot ties resolve to lowest cid (matches
+        # ivf_topk's probe selection and the oracle's ORDER BY dot DESC, cid)
+        order = np.argsort(-(m @ cent.T), axis=1, kind="stable")[:, :nprobe].astype(np.int32)
         return pd.Series(list(order))
 
     q = queries.withColumn("bucket", F.explode(probes(F.col(vec_col)))).select(
@@ -253,6 +268,76 @@ def ivf_topk_join(
         })
 
     part = q.groupby("bucket").cogroup(c.groupby("bucket")).applyInPandas(
+        score, schema=TOPK_SCHEMA)
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        part.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "rank", "score")
+    )
+
+
+def cosine_topk_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_blocks: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """EXACT cosine top-k where the queries are a large TABLE — neither
+    side ever touches the driver (``cosine_topk`` collects + broadcasts
+    the queries, which is right for dozens of probes but not a query
+    table at corpus scale).
+
+    Plan: the corpus is block-partitioned by a deterministic id hash
+    (``pmod(xxhash64(id), n_blocks)``); every query replicates to all
+    ``n_blocks`` blocks (exact — every (query, corpus-vector) pair is
+    scored exactly once) -> cogroup on ``block`` (one shuffle per side)
+    -> per-block NumPy matmul emits each query's block-local top-k ->
+    global window finalizes. Shuffle volume is corpus-once +
+    queries-times-n_blocks; candidate pairs never materialize as rows.
+    Same cogroup shape as ``ivf_topk_join`` with an all-blocks probe, so
+    recall is exactly 1 by construction. Results are identical to
+    ``cosine_topk`` (rank-exact; tests assert equality).
+
+    At 1000 executors, size ``n_blocks`` ~= the corpus partition count so
+    each cogroup task holds one corpus block in memory; replicating the
+    query table n_blocks ways is the exact-search price (IVF's nprobe
+    explode is the sub-linear alternative when recall < 1 is acceptable)."""
+    c = corpus.select(
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cvec"),
+        F.pmod(F.xxhash64(F.col(id_col)), F.lit(n_blocks)).alias("block"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("qid"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(F.sequence(F.lit(0), F.lit(n_blocks - 1))).alias("block"),
+    )
+
+    def score(qpdf: pd.DataFrame, cpdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(qpdf) or not len(cpdf):
+            return pd.DataFrame({"query_id": pd.Series(dtype="int64"),
+                                 "vec_id": pd.Series(dtype="int64"),
+                                 "score": pd.Series(dtype="float64")})
+        # id-sorted batch + stable argsort: exact-score ties at the block
+        # prune keep the smallest vec_id, matching the final
+        # (score DESC, vec_id ASC) window order
+        cpdf = cpdf.sort_values("cid", kind="mergesort")
+        qm = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in qpdf["qvec"]]))
+        cm = _normalize(np.vstack([np.asarray(v, dtype=np.float64) for v in cpdf["cvec"]]))
+        scores = qm @ cm.T
+        kk = min(k, scores.shape[1])
+        idx = np.argsort(-scores, axis=1, kind="stable")[:, :kk]
+        return pd.DataFrame({
+            "query_id": np.repeat(qpdf["qid"].to_numpy(), kk),
+            "vec_id": cpdf["cid"].to_numpy()[idx.ravel()],
+            "score": np.take_along_axis(scores, idx, axis=1).ravel(),
+        })
+
+    part = q.groupby("block").cogroup(c.groupby("block")).applyInPandas(
         score, schema=TOPK_SCHEMA)
     w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
     return (

@@ -135,17 +135,19 @@ def export_ascii_grids(
         nonlocal n
         if cur is None:
             return
+        # fail BEFORE writing file max_files+1: exporting exactly
+        # max_files images succeeds, one more dies with zero extra bytes
+        if max_files is not None and n >= max_files:
+            raise RuntimeError(
+                f"export_ascii_grids exceeded max_files={max_files}; "
+                "use the parquet tile sink for corpus-scale output"
+            )
         iid, w, h, x0, y0, cs = cur
         grid = np.vstack(parts)
         assert grid.shape == (h, w), (grid.shape, h, w)
         with open(f"{out_dir}/{iid}.asc", "w") as f:
             f.write(write_ascii_grid(grid, x0, y0, cs, nodata=nodata))
         n += 1
-        if max_files is not None and n > max_files:
-            raise RuntimeError(
-                f"export_ascii_grids exceeded max_files={max_files}; "
-                "use the parquet tile sink for corpus-scale output"
-            )
 
     for r in it:
         key = (r.image_id, r.w, r.h, r.x0, r.y0, r.cellsize)
@@ -234,6 +236,13 @@ def export_geotiffs(
         nonlocal n
         if cur is None:
             return
+        # fail BEFORE writing file max_files+1: exporting exactly
+        # max_files images succeeds, one more dies with zero extra bytes
+        if max_files is not None and n >= max_files:
+            raise RuntimeError(
+                f"export_geotiffs exceeded max_files={max_files}; "
+                "use the parquet tile sink for corpus-scale output"
+            )
         iid, w, h, x0, y0, cs, img_crs = cur
         grid = np.vstack(parts)
         assert grid.shape == (h, w), (grid.shape, h, w)
@@ -243,11 +252,6 @@ def export_geotiffs(
                                    nodata=nodata, crs=img_crs,
                                    compression=compression))
         n += 1
-        if max_files is not None and n > max_files:
-            raise RuntimeError(
-                f"export_geotiffs exceeded max_files={max_files}; "
-                "use the parquet tile sink for corpus-scale output"
-            )
 
     for r in it:
         key = (r.image_id, r.w, r.h, r.x0, r.y0, r.cellsize,

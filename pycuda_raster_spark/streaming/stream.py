@@ -53,14 +53,21 @@ def run_incremental(
         .option("maxFilesPerTrigger", 64)
         .parquet(images_dir)
     )
+    from pyspark.sql import Observation
+
     n_written = {"n": 0}
 
     def process(batch_df, epoch_id: int) -> None:
-        n_written["n"] += batch_df.count()
+        # image count rides the epoch's one write action as an observe()
+        # metric — round 2 ran a separate count() job per epoch purely
+        # for the return value, doubling the scan on the streaming hot path
+        obs = Observation()
+        batch_df = batch_df.observe(obs, F.count(F.lit(1)).alias("n_images"))
         tiles = decode_tiles(batch_df, tile_rows=tile_rows)
         focal_products(tiles).write.mode("overwrite").parquet(
             f"{out_dir}/tiles/epoch={epoch_id}"
         )
+        n_written["n"] += obs.get["n_images"]
 
     q = (
         src.writeStream.foreachBatch(process)

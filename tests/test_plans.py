@@ -131,6 +131,27 @@ def test_ivf_topk_join_plan_is_bucket_cogroup(spark):
     assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
 
 
+def test_cosine_topk_join_plan_is_block_cogroup_and_collect_free(spark):
+    """Exact top-k over a query TABLE: candidate matching must be the
+    block cogroup (no cartesian queries x corpus), and building the plan
+    must launch no driver-side job (nothing is collected)."""
+    from pycuda_raster_spark.operators.similarity import cosine_topk_join
+
+    emb = spark.createDataFrame(
+        [(i, [float((i * 3 + j) % 5) for j in range(8)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    q = emb.limit(5).select(F.col("vec_id").alias("query_id"), "embedding")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    out = cosine_topk_join(emb, q, k=3, n_blocks=4)
+    plan = plan_of(out)
+    after = tracker.getJobIdsForGroup(None)
+    assert len(after) == len(before), "plan construction must be collect-free"
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "FlatMapCoGroupsInPandas" in plan or "CoGroup" in plan
+
+
 def test_pip_join_with_res_builds_plan_without_spark_job(spark):
     """Threading ``res`` through pip_join must not trigger a driver-side
     job while BUILDING the plan (round-1 ran a first() per call)."""

@@ -92,8 +92,17 @@ def test_streaming_incremental_exactly_once(spark, images_df, tmp_path):
     first = images_df.limit(8)
     first.write.mode("append").parquet(src)
 
+    def n_jobs():
+        # total jobs ever submitted (streaming jobs run outside the
+        # default job group, so statusTracker.getJobIdsForGroup misses them)
+        return spark.sparkContext._jsc.sc().dagScheduler().nextJobId()
+
+    jobs_before = n_jobs()
     n1 = run_incremental(spark, src, out, ckpt, tile_rows=16)
     assert n1 == 8
+    # one Spark job per epoch (the sink write; the image count rides it
+    # as an observe() metric — round 2 ran a second count() job per epoch)
+    assert n_jobs() - jobs_before == 1
     tiles1 = spark.read.parquet(f"{out}/tiles").count()
     assert tiles1 == 8 * 2  # 32 rows / 16 per tile
 

@@ -92,6 +92,25 @@ def test_ivf_topk_join_equals_collect_based(spark, emb):
     assert got == want
 
 
+def test_cosine_topk_join_equals_broadcast_path(spark, emb):
+    """cosine_topk_join (block cogroup, queries stay a DataFrame) is the
+    same exact search as cosine_topk (collect+broadcast) — rank-identical
+    on the full query set, including the tie-break order."""
+    from pycuda_raster_spark.operators.similarity import cosine_topk_join
+
+    queries = emb.filter(F.col("vec_id") < 16)
+    want = {(r.query_id, r.rank): r.vec_id
+            for r in cosine_topk(emb, queries, k=5).collect()}
+    qdf = queries.select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {(r.query_id, r.rank): r.vec_id
+           for r in cosine_topk_join(emb, qdf, k=5, n_blocks=7).collect()}
+    assert got == want and len(got) == 16 * 5
+    # block count must not affect results (exact for any partitioning)
+    got1 = {(r.query_id, r.rank): r.vec_id
+            for r in cosine_topk_join(emb, qdf, k=5, n_blocks=1).collect()}
+    assert got1 == want
+
+
 def test_cosine_pairs_precision(spark, emb):
     got = cosine_pairs(emb.limit(200), threshold=0.8).collect()
     pdf = emb.limit(200).toPandas()
