@@ -97,17 +97,20 @@ def _shingles(text_col, n: int = 3):
 
 
 def with_minhash(df: DataFrame, text_col: str = "text", num_hashes: int = 64,
-                 shingle_n: int = 3) -> DataFrame:
+                 shingle_n: int = 3, family_seed: int = 0) -> DataFrame:
     """Attach ``shingles`` + ``minhash array<bigint>`` columns. minhash_j =
-    min over shingles of xxhash64(shingle, j) — the (shingle, seed) pair
-    hash gives num_hashes independent families without Python."""
+    min over shingles of xxhash64(shingle, family_seed + j) — the
+    (shingle, seed) pair hash gives num_hashes independent families
+    without Python. Disjoint ``family_seed`` ranges (e.g. 0 and 1000)
+    give fully independent bandings — the second-banding self-check."""
     sh = _shingles(F.col(text_col), shingle_n)
     # hash each shingle STRING once; derive the num_hashes families by
     # re-hashing the resulting int64 with the family index — ~10x cheaper
     # than hashing the string per family, same LSH guarantees
     base = F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
     mh = F.array(*[
-        F.array_min(F.transform(F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(j))))
+        F.array_min(F.transform(
+            F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(family_seed + j))))
         for j in range(num_hashes)
     ])
     return (
@@ -144,6 +147,7 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     jaccard_threshold: float = 0.7,
     mode: str = "lsh",
+    family_seed: int = 0,
 ) -> DataFrame:
     """Near-dup document pairs (id_a, id_b, jaccard >= threshold).
 
@@ -163,7 +167,8 @@ def minhash_lsh_pairs(
         )
         return _exhaustive_jaccard_pairs(sh, jaccard_threshold)
     rows = num_hashes // bands
-    m = with_minhash(df.select(id_col, text_col), text_col, num_hashes, shingle_n)
+    m = with_minhash(df.select(id_col, text_col), text_col, num_hashes,
+                     shingle_n, family_seed)
     band_arr = F.array(*[
         F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
     ])
@@ -208,6 +213,7 @@ def ngram_jaccard_pairs(
     num_hashes: int = 64,
     bands: int = 32,
     mode: str = "lsh",
+    family_seed: int = 0,
 ) -> DataFrame:
     """Character-n-gram Jaccard near-dup pairs, LSH-bucketed. Character
     shingles catch small edits word shingles miss. ``mode="exhaustive"``
@@ -231,7 +237,8 @@ def ngram_jaccard_pairs(
     )
     rows = num_hashes // bands
     mh = F.array(*[
-        F.array_min(F.transform(F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(j))))
+        F.array_min(F.transform(
+            F.col("__shash"), lambda h, j=j: F.xxhash64(h, F.lit(family_seed + j))))
         for j in range(num_hashes)
     ])
     band_arr = F.array(*[

@@ -1,17 +1,30 @@
 """Pure-NumPy baseline GeoTIFF codec — unstubs the reference's primary
 raster format (SURVEY.md §2.1 ops 1 & 5; the reference reads/writes GeoTIFF
 via GDAL [ref?: dataLoader.py/dataSaver.py] — GDAL is absent here, so this
-is a from-scratch strip-based classic-TIFF implementation of the subset a
-single-band DEM needs).
+is a from-scratch classic-TIFF implementation of the subset a single-band
+DEM needs).
 
 Scope (deliberate, documented):
 * classic TIFF (not BigTIFF), little- or big-endian on read, LE on write;
 * single band (SamplesPerPixel=1), grayscale;
 * float32 (SampleFormat=3/BitsPerSample=32) and uint16 (1/16) cells;
-* strip layout (RowsPerStrip), Compression 1 (none) or 8 (zlib/deflate);
+* STRIP layout (RowsPerStrip) and TILED layout (TileWidth/TileLength/
+  TileOffsets/TileByteCounts, tags 322-325 — the COG/GDAL-tiled case),
+  both read and write;
+* Compression 1 (none) or 8 (zlib/deflate);
+* Predictor (tag 317): 1 (none), 2 (horizontal sample differencing —
+  GDAL's default companion for deflate on integer data) and 3 (the
+  TIFF TechNote-3 floating-point predictor: per-row byte-plane
+  rearrangement to most-significant-first + byte differencing — GDAL's
+  PREDICTOR choice for float data), both read and write. Round 2 decoded
+  predictor-2 deflate files WITHOUT error and silently wrong — now every
+  unsupported combination raises a clear ValueError instead;
 * GeoTIFF georeferencing via ModelPixelScaleTag + ModelTiepointTag,
-  GDAL_NODATA, and the CRS string carried in GeoKeyDirectory/GTCitation
-  (GeoAsciiParams) — enough to round-trip (x0, y0, cellsize, nodata, crs).
+  GDAL_NODATA, and CRS as EPSG GeoKeys — ProjectedCSTypeGeoKey (3072) /
+  GeographicTypeGeoKey (2048) parsed and emitted when ``crs`` is
+  ``EPSG:nnnn`` (geographic codes 4000-4999 ride key 2048 with
+  ModelTypeGeoKey=2, everything else key 3072 with ModelTypeGeoKey=1) —
+  falling back to the citation string in GTCitation/GeoAsciiParams.
 
 Raster orientation: TIFF rows run top->bottom = north->south; the engine's
 grids are south-up (row 0 at y0). encode flips on write and sets the
@@ -20,6 +33,7 @@ tiepoint to the TOP-LEFT corner (y0 + h*cellsize); decode flips back.
 
 from __future__ import annotations
 
+import re
 import struct
 import zlib
 
@@ -30,12 +44,74 @@ NODATA = -9999.0
 # TIFF tag ids
 _W, _H, _BITS, _COMP, _PHOTO = 256, 257, 258, 259, 262
 _STRIP_OFF, _SPP, _ROWS_PER_STRIP, _STRIP_CNT = 273, 277, 278, 279
+_PREDICTOR = 317
+_TILE_W, _TILE_H, _TILE_OFF, _TILE_CNT = 322, 323, 324, 325
 _SAMPLE_FMT = 339
 _MODEL_PIXEL_SCALE, _MODEL_TIEPOINT = 33550, 33922
 _GEO_KEYS, _GEO_ASCII = 34735, 34737
 _GDAL_NODATA = 42113
 
+# GeoKey ids
+_GK_MODEL_TYPE, _GK_RASTER_TYPE, _GK_CITATION = 1024, 1025, 1026
+_GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS = 2048, 3072
+
 _TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}  # BYTE..DOUBLE
+
+_DTYPES = {  # on-disk dtype -> (SampleFormat, BitsPerSample)
+    "f4": (3, 32),
+    "u2": (1, 16),
+}
+
+
+def _predict(block: np.ndarray, predictor: int) -> bytes:
+    """One strip/tile (2-D, on-disk LE dtype) -> predictor-encoded bytes.
+    Differencing is per ROW (resets each row), matching libtiff."""
+    if predictor == 1:
+        return block.tobytes()
+    if predictor == 2:
+        out = block.copy()
+        out[:, 1:] = block[:, 1:] - block[:, :-1]  # unsigned wraparound
+        return out.tobytes()
+    if predictor == 3:
+        h, w = block.shape
+        bps = block.dtype.itemsize
+        # TechNote 3: rearrange each row's sample bytes into byte planes,
+        # most-significant plane first (big-endian order regardless of
+        # file byte order), then horizontal byte differencing
+        be = np.ascontiguousarray(block.astype(block.dtype.newbyteorder(">")))
+        planes = be.view(np.uint8).reshape(h, w, bps).transpose(0, 2, 1)
+        row = np.ascontiguousarray(planes).reshape(h, w * bps)
+        out = row.copy()
+        out[:, 1:] = row[:, 1:] - row[:, :-1]
+        return out.tobytes()
+    raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
+
+
+def _unpredict(raw: bytes, n_rows: int, n_cols: int, dtype: np.dtype,
+               predictor: int) -> np.ndarray:
+    """Predictor-encoded strip/tile bytes -> 2-D array in ``dtype``."""
+    if predictor == 1:
+        return np.frombuffer(raw, dtype=dtype).reshape(n_rows, n_cols)
+    if predictor == 2:
+        if dtype.kind == "f":
+            raise ValueError(
+                "predictor 2 (integer horizontal differencing) on float "
+                "samples is not valid TIFF — float files use predictor 3"
+            )
+        a = np.frombuffer(raw, dtype=dtype).reshape(n_rows, n_cols)
+        return np.cumsum(a, axis=1, dtype=dtype)  # unsigned wraparound
+    if predictor == 3:
+        bps = dtype.itemsize
+        row = np.frombuffer(raw, dtype=np.uint8).reshape(n_rows, n_cols * bps)
+        acc = np.cumsum(row, axis=1, dtype=np.uint8)
+        planes = acc.reshape(n_rows, bps, n_cols).transpose(0, 2, 1)
+        be = np.ascontiguousarray(planes).reshape(n_rows, n_cols * bps)
+        return (
+            np.frombuffer(be.tobytes(), dtype=dtype.newbyteorder(">"))
+            .reshape(n_rows, n_cols)
+            .astype(dtype)
+        )
+    raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
 
 
 def encode_geotiff(
@@ -47,50 +123,103 @@ def encode_geotiff(
     crs: str = "ENGINE:PLANE",
     compression: str = "deflate",
     rows_per_strip: int = 64,
+    dtype: str = "f4",
+    predictor: int = 1,
+    tile_size: tuple[int, int] | None = None,
 ) -> bytes:
-    """Engine (south-up) float32 grid -> single-band GeoTIFF bytes."""
+    """Engine (south-up) grid -> single-band GeoTIFF bytes.
+
+    ``dtype`` picks the on-disk cell type (``f4`` float32 / ``u2``
+    uint16 — values are cast); ``predictor`` 2 needs an integer dtype,
+    3 a float dtype; ``tile_size=(tile_w, tile_h)`` switches from strips
+    to the tiled layout (dims must be multiples of 16 per the TIFF spec).
+    """
+    if dtype not in _DTYPES:
+        raise ValueError(f"unsupported encode dtype {dtype} (f4/u2)")
+    if predictor == 2 and dtype == "f4":
+        raise ValueError("predictor 2 is integer-only; use 3 for float data")
+    if predictor == 3 and dtype != "f4":
+        raise ValueError("predictor 3 is float-only; use 2 for integer data")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
     h, w = grid.shape
-    data = np.ascontiguousarray(grid[::-1], dtype="<f4")  # north-up on disk
+    data = np.ascontiguousarray(grid[::-1]).astype("<" + dtype)  # north-up
     comp_id = {"none": 1, "deflate": 8}[compression]
+    fmt_id, bits = _DTYPES[dtype]
 
-    strips = []
-    for r0 in range(0, h, rows_per_strip):
-        raw = data[r0 : r0 + rows_per_strip].tobytes()
-        strips.append(zlib.compress(raw, 6) if comp_id == 8 else raw)
+    def pack(block: np.ndarray) -> bytes:
+        raw = _predict(np.ascontiguousarray(block), predictor)
+        return zlib.compress(raw, 6) if comp_id == 8 else raw
 
-    # GeoTIFF keys: version 1.1.0; ModelTypeGeoKey(1024)=32767 (user),
-    # RasterTypeGeoKey(1025)=1 (PixelIsArea), GTCitationGeoKey(1026) ->
-    # ascii params (the engine's CRS string rides here)
+    tiled = tile_size is not None
+    chunks: list[bytes] = []
+    if tiled:
+        tw, tl = tile_size
+        if tw % 16 or tl % 16:
+            raise ValueError("tile dimensions must be multiples of 16")
+        down = -(-h // tl)
+        across = -(-w // tw)
+        padded = np.zeros((down * tl, across * tw), dtype=data.dtype)
+        padded[:h, :w] = data
+        for ty in range(down):
+            for tx in range(across):
+                chunks.append(
+                    pack(padded[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw]))
+    else:
+        for r0 in range(0, h, rows_per_strip):
+            chunks.append(pack(data[r0:r0 + rows_per_strip]))
+
+    # GeoTIFF keys: ModelTypeGeoKey(1024) = 1 projected / 2 geographic
+    # when crs is EPSG:nnnn (code emitted via 3072/2048), else 32767
+    # (user-defined, citation only); RasterTypeGeoKey(1025) = PixelIsArea;
+    # GTCitationGeoKey(1026) -> ascii params (the CRS string rides here
+    # too, for readers that skip the EPSG keys)
     citation = (crs + "|").encode("ascii")
-    geo_keys = struct.pack(
-        "<16H",
-        1, 1, 0, 3,              # key directory header, 3 keys
-        1024, 0, 1, 32767,
-        1025, 0, 1, 1,
-        1026, _GEO_ASCII, len(citation), 0,
-    )
+    epsg = re.fullmatch(r"EPSG:(\d{1,5})", crs or "")
+    code = int(epsg.group(1)) if epsg else None
+    is_geographic = code is not None and 4000 <= code <= 4999
+    keys = [
+        (_GK_MODEL_TYPE, 0, 1,
+         32767 if code is None else (2 if is_geographic else 1)),
+        (_GK_RASTER_TYPE, 0, 1, 1),
+        (_GK_CITATION, _GEO_ASCII, len(citation), 0),
+    ]
+    if code is not None:
+        keys.append((_GK_GEOGRAPHIC_CS if is_geographic else _GK_PROJECTED_CS,
+                     0, 1, code))
+        keys.sort()  # key ids must be ascending in the directory
+    flat = [v for k in keys for v in k]
+    geo_keys = struct.pack(f"<{4 + len(flat)}H", 1, 1, 0, len(keys), *flat)
     scale = struct.pack("<3d", cellsize, cellsize, 0.0)
     # raster (0, 0) = top-left corner -> model (x0, y_top)
     tiepoint = struct.pack("<6d", 0.0, 0.0, 0.0, x0, y0 + h * cellsize, 0.0)
     nodata_ascii = (repr(float(nodata)) + "\x00").encode("ascii")
 
-    # layout: header(8) | IFD | inline tag payloads | strip data
+    # layout: header(8) | IFD | inline tag payloads | chunk data
     entries: list[tuple[int, int, int, bytes]] = []  # (tag, type, count, payload)
 
     def add(tag: int, typ: int, count: int, payload: bytes) -> None:
         entries.append((tag, typ, count, payload))
 
-    n_strips = len(strips)
+    n_chunks = len(chunks)
+    offsets_tag = _TILE_OFF if tiled else _STRIP_OFF
     add(_W, 4, 1, struct.pack("<I", w))
     add(_H, 4, 1, struct.pack("<I", h))
-    add(_BITS, 3, 1, struct.pack("<H", 32))
+    add(_BITS, 3, 1, struct.pack("<H", bits))
     add(_COMP, 3, 1, struct.pack("<H", comp_id))
     add(_PHOTO, 3, 1, struct.pack("<H", 1))  # BlackIsZero
-    add(_STRIP_OFF, 4, n_strips, b"")        # patched below
+    add(offsets_tag, 4, n_chunks, b"")       # patched below
     add(_SPP, 3, 1, struct.pack("<H", 1))
-    add(_ROWS_PER_STRIP, 4, 1, struct.pack("<I", rows_per_strip))
-    add(_STRIP_CNT, 4, n_strips, struct.pack(f"<{n_strips}I", *map(len, strips)))
-    add(_SAMPLE_FMT, 3, 1, struct.pack("<H", 3))  # IEEE float
+    if tiled:
+        add(_TILE_W, 4, 1, struct.pack("<I", tile_size[0]))
+        add(_TILE_H, 4, 1, struct.pack("<I", tile_size[1]))
+        add(_TILE_CNT, 4, n_chunks, struct.pack(f"<{n_chunks}I", *map(len, chunks)))
+    else:
+        add(_ROWS_PER_STRIP, 4, 1, struct.pack("<I", rows_per_strip))
+        add(_STRIP_CNT, 4, n_chunks, struct.pack(f"<{n_chunks}I", *map(len, chunks)))
+    if predictor != 1:
+        add(_PREDICTOR, 3, 1, struct.pack("<H", predictor))
+    add(_SAMPLE_FMT, 3, 1, struct.pack("<H", fmt_id))
     add(_MODEL_PIXEL_SCALE, 12, 3, scale)
     add(_MODEL_TIEPOINT, 12, 6, tiepoint)
     add(_GEO_KEYS, 3, len(geo_keys) // 2, geo_keys)
@@ -107,34 +236,34 @@ def encode_geotiff(
     cur = ext_off
     for tag, typ, count, payload in entries:
         size = _TYPE_SIZES[typ] * count
-        if size > 4 and tag != _STRIP_OFF:
+        if size > 4 and tag != offsets_tag:
             if cur % 2:
                 ext.append(b"\x00")
                 cur += 1
             placed[tag] = cur
             ext.append(payload)
             cur += len(payload)
-    # strip offsets table (if external) + strip data
+    # chunk offsets table (if external) + chunk data
     if cur % 2:
         ext.append(b"\x00")
         cur += 1
     offsets_table_off = cur
-    if n_strips * 4 > 4:
-        placed[_STRIP_OFF] = offsets_table_off
-        cur += n_strips * 4
+    if n_chunks * 4 > 4:
+        placed[offsets_tag] = offsets_table_off
+        cur += n_chunks * 4
     data_off = cur
-    strip_offsets = []
-    for s in strips:
-        strip_offsets.append(cur)
+    chunk_offsets = []
+    for s in chunks:
+        chunk_offsets.append(cur)
         cur += len(s)
-    offsets_payload = struct.pack(f"<{n_strips}I", *strip_offsets)
-    if n_strips * 4 > 4:
+    offsets_payload = struct.pack(f"<{n_chunks}I", *chunk_offsets)
+    if n_chunks * 4 > 4:
         ext.append(offsets_payload)
 
     out = [struct.pack("<2sHI", b"II", 42, ifd_off)]
     out.append(struct.pack("<H", len(entries)))
     for tag, typ, count, payload in entries:
-        if tag == _STRIP_OFF:
+        if tag == offsets_tag:
             payload = offsets_payload
         size = _TYPE_SIZES[typ] * count
         if size <= 4:
@@ -144,9 +273,9 @@ def encode_geotiff(
         out.append(struct.pack("<HHI", tag, typ, count) + val)
     out.append(struct.pack("<I", 0))  # next IFD
     out.extend(ext)
-    out.extend(strips)
+    out.extend(chunks)
     blob = b"".join(out)
-    assert len(blob) == data_off + sum(map(len, strips))
+    assert len(blob) == data_off + sum(map(len, chunks))
     return blob
 
 
@@ -175,10 +304,33 @@ def _ints(tags, tag, bo, default=None):
     return list(struct.unpack(bo + fmt * count, payload))
 
 
+def _parse_crs(tags, bo) -> str | None:
+    """EPSG GeoKeys first (3072 projected, then 2048 geographic), falling
+    back to the GTCitation/GeoAsciiParams string."""
+    if _GEO_KEYS in tags:
+        typ, count, payload = tags[_GEO_KEYS]
+        shorts = struct.unpack(bo + f"{count}H", payload)
+        n_keys = shorts[3]
+        kd: dict[int, tuple[int, int, int]] = {}
+        for i in range(n_keys):
+            kid, loc, cnt, val = shorts[4 + 4 * i : 8 + 4 * i]
+            kd[kid] = (loc, cnt, val)
+        for kid in (_GK_PROJECTED_CS, _GK_GEOGRAPHIC_CS):
+            if kid in kd:
+                loc, _, val = kd[kid]
+                # loc 0 = value inline; 32767 = user-defined, 0 = undefined
+                if loc == 0 and 0 < val < 32767:
+                    return f"EPSG:{val}"
+    if _GEO_ASCII in tags:
+        return tags[_GEO_ASCII][2].split(b"|")[0].decode("ascii", "replace")
+    return None
+
+
 def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     """GeoTIFF bytes -> (south-up float32 grid, header dict with
-    x0/y0/cellsize/nodata/crs). External NODATA values are mapped to the
-    engine sentinel."""
+    x0/y0/cellsize/nodata/crs). Strip and tiled layouts, predictor 1/2/3,
+    none/deflate. External NODATA values are mapped to the engine
+    sentinel."""
     bo = {b"II": "<", b"MM": ">"}[bytes(data[:2])]
     (magic,) = struct.unpack(bo + "H", data[2:4])
     if magic != 42:
@@ -191,9 +343,7 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     comp = _ints(tags, _COMP, bo, [1])[0]
     spp = _ints(tags, _SPP, bo, [1])[0]
     fmt = _ints(tags, _SAMPLE_FMT, bo, [1])[0]
-    rps = _ints(tags, _ROWS_PER_STRIP, bo, [h])[0]
-    offs = _ints(tags, _STRIP_OFF, bo)
-    cnts = _ints(tags, _STRIP_CNT, bo)
+    predictor = _ints(tags, _PREDICTOR, bo, [1])[0]
     if spp != 1:
         raise ValueError(f"only single-band rasters supported (SPP={spp})")
     if (fmt, bits) == (3, 32):
@@ -204,18 +354,48 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         raise ValueError(f"unsupported sample format/bits: {fmt}/{bits}")
     if comp not in (1, 8):
         raise ValueError(f"unsupported compression {comp} (none/deflate only)")
+    if predictor not in (1, 2, 3):
+        raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
 
-    rows = []
-    for i, (off, cnt) in enumerate(zip(offs, cnts)):
+    def chunk(off: int, cnt: int, n_rows: int, n_cols: int) -> np.ndarray:
         raw = bytes(data[off : off + cnt])
         if comp == 8:
             raw = zlib.decompress(raw)
-        n_rows = min(rps, h - i * rps)
-        rows.append(np.frombuffer(raw, dtype=dtype).reshape(n_rows, w))
-    grid = np.vstack(rows)[::-1].astype(np.float32)  # disk north-up -> engine
+        return _unpredict(raw, n_rows, n_cols, dtype, predictor)
+
+    if _TILE_OFF in tags:  # tiled layout (tags 322-325)
+        tw = _ints(tags, _TILE_W, bo)[0]
+        tl = _ints(tags, _TILE_H, bo)[0]
+        offs = _ints(tags, _TILE_OFF, bo)
+        cnts = _ints(tags, _TILE_CNT, bo)
+        across = -(-w // tw)
+        down = -(-h // tl)
+        if len(offs) != across * down:
+            raise ValueError(
+                f"tile count {len(offs)} != grid {across}x{down} for "
+                f"{w}x{h} image with {tw}x{tl} tiles")
+        full = np.empty((down * tl, across * tw), dtype=dtype)
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            ty, tx = divmod(i, across)
+            full[ty * tl:(ty + 1) * tl, tx * tw:(tx + 1) * tw] = chunk(
+                off, cnt, tl, tw)
+        north_up = full[:h, :w]
+    elif _STRIP_OFF in tags:  # strip layout
+        rps = _ints(tags, _ROWS_PER_STRIP, bo, [h])[0]
+        offs = _ints(tags, _STRIP_OFF, bo)
+        cnts = _ints(tags, _STRIP_CNT, bo)
+        rows = []
+        for i, (off, cnt) in enumerate(zip(offs, cnts)):
+            rows.append(chunk(off, cnt, min(rps, h - i * rps), w))
+        north_up = np.vstack(rows)
+    else:
+        raise ValueError(
+            "no StripOffsets (273) or TileOffsets (324) — not a baseline "
+            "strip or tiled TIFF")
+    grid = north_up[::-1].astype(np.float32)  # disk north-up -> engine
 
     hdr: dict = {"w": w, "h": h, "x0": 0.0, "y0": 0.0, "cellsize": 1.0,
-                 "nodata": None, "crs": None}
+                 "nodata": None, "crs": _parse_crs(tags, bo)}
     if _MODEL_PIXEL_SCALE in tags:
         sx, sy, _ = struct.unpack(bo + "3d", tags[_MODEL_PIXEL_SCALE][2])
         hdr["cellsize"] = sx
@@ -225,8 +405,6 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         hdr["y0"] = my - h * hdr["cellsize"]  # tiepoint is the TOP edge
     if _GDAL_NODATA in tags:
         hdr["nodata"] = float(tags[_GDAL_NODATA][2].split(b"\x00")[0])
-    if _GEO_ASCII in tags:
-        hdr["crs"] = tags[_GEO_ASCII][2].split(b"|")[0].decode("ascii", "replace")
     nd = hdr["nodata"]
     if nd is not None and nd != NODATA:
         grid = np.where(grid == np.float32(nd), np.float32(NODATA), grid)

@@ -168,11 +168,11 @@ def export_ascii_grids(
 
 def read_geotiff(spark: SparkSession, path_glob: str) -> DataFrame:
     """Directory/glob of GeoTIFF files -> images-with-geo DataFrame
-    (same shape as read_ascii_grid). Pure-NumPy strip codec
+    (same shape as read_ascii_grid). Pure-NumPy codec
     (sources/geotiff.py) stands in for GDAL — single-band float32/uint16,
-    none/deflate strips, ModelPixelScale/Tiepoint + GDAL_NODATA + CRS
-    citation honored. binaryFile scan -> batched parse (no per-row
-    Python)."""
+    strip AND tiled (COG-style) layouts, none/deflate, predictor 1/2/3,
+    ModelPixelScale/Tiepoint + GDAL_NODATA + EPSG GeoKeys/CRS citation
+    honored. binaryFile scan -> batched parse (no per-row Python)."""
     from ..functions.phash import phash64
     from .geotiff import decode_geotiff
 

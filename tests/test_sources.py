@@ -119,6 +119,154 @@ def test_geotiff_uint16_and_bigendian_read():
         assert (hdr["w"], hdr["h"]) == (w, h)
 
 
+def test_geotiff_tiled_and_predictor_match_strip_twin(spark, tmp_path):
+    """Every layout/predictor variant must decode bit-identically to its
+    plain strip-encoded twin — tiled (COG-style, tags 322-325), deflate
+    with the float predictor (3), and uint16 with horizontal differencing
+    (2, GDAL's default deflate companion for integer data)."""
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.default_rng(21)
+    g = rng.uniform(-100, 4000, size=(40, 25)).astype(np.float32)
+    g[5:9, 3:6] = NODATA
+    golden, _ = decode_geotiff(encode_geotiff(g, cellsize=3.0, compression="none"))
+    variants = {
+        "tiled_none": dict(compression="none", tile_size=(16, 16)),
+        "tiled_deflate": dict(compression="deflate", tile_size=(16, 32)),
+        "strip_pred3": dict(compression="deflate", predictor=3),
+        "tiled_pred3": dict(compression="deflate", predictor=3,
+                            tile_size=(16, 16)),
+    }
+    for name, kw in variants.items():
+        blob = encode_geotiff(g, cellsize=3.0, **kw)
+        out, hdr = decode_geotiff(blob)
+        np.testing.assert_array_equal(out, golden, err_msg=name)
+        assert hdr["cellsize"] == 3.0, name
+        (tmp_path / f"{name}.tif").write_bytes(blob)
+
+    gu = (rng.uniform(1, 60000, size=(33, 18))).astype(np.uint16)
+    golden_u = gu.astype(np.float32)  # no zeros, so nodata=0 maps nothing
+    for name, kw in {
+        "u16_pred2_strip": dict(compression="deflate", predictor=2),
+        "u16_pred2_tiled": dict(compression="deflate", predictor=2,
+                                tile_size=(16, 16)),
+    }.items():
+        out, _ = decode_geotiff(
+            encode_geotiff(golden_u, dtype="u2", nodata=0, **kw))
+        np.testing.assert_array_equal(out, golden_u, err_msg=name)
+
+    # read_raster_files dispatches the tiled/predictor variants unchanged
+    rows = {r.image_id: r for r in read_raster_files(spark, str(tmp_path)).collect()}
+    assert set(rows) == {f"{n}.tif" for n in variants}
+    for name, r in rows.items():
+        np.testing.assert_array_equal(
+            decode(bytes(r.bytes), "raw", r.w, r.h), golden, err_msg=name)
+
+
+def test_geotiff_hand_built_predictor2_fixture():
+    """Predictor-2 decode pinned against a HAND-diffed uint16 strip file
+    (independent of our encoder, so an encoder+decoder paired bug can't
+    hide): each row stores x[0], x[1]-x[0], ... with uint16 wraparound."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff
+
+    w, h = 4, 2
+    vals = np.array([[100, 90, 65535, 3], [7, 7, 8, 1]], dtype=np.uint16)
+    north_up = vals[::-1]
+    diffed = north_up.copy()
+    diffed[:, 1:] = north_up[:, 1:] - north_up[:, :-1]  # wraps at 2^16
+    data = diffed.astype("<u2").tobytes()
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 16), (259, 3, 1, 1),
+        (262, 3, 1, 1), (277, 3, 1, 1), (278, 4, 1, h), (317, 3, 1, 2),
+        (339, 3, 1, 1),
+    ]
+    ifd_off = 8
+    n = len(entries) + 2
+    data_off = ifd_off + 2 + 12 * n + 4
+    entries += [(273, 4, 1, data_off), (279, 4, 1, len(data))]
+    entries.sort()
+    buf = struct.pack("<2sHI", b"II", 42, ifd_off) + struct.pack("<H", n)
+    for tag, typ, cnt, val in entries:
+        packed = struct.pack("<" + {3: "H", 4: "I"}[typ], val).ljust(4, b"\x00")
+        buf += struct.pack("<HHI", tag, typ, cnt) + packed
+    buf += struct.pack("<I", 0) + data
+    grid, _ = decode_geotiff(buf)
+    np.testing.assert_array_equal(grid, vals.astype(np.float32))
+
+
+def test_geotiff_epsg_geokeys():
+    """EPSG codes ride real GeoKeys: ProjectedCSTypeGeoKey (3072) for
+    projected CRS, GeographicTypeGeoKey (2048) for geographic (4xxx),
+    citation string for everything else; decode prefers the key."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    g = np.ones((4, 4), dtype=np.float32)
+
+    def geokey_ids(blob):
+        tags = {}
+        (n,) = struct.unpack("<H", blob[8:10])
+        for k in range(n):
+            tag, typ, cnt = struct.unpack("<HHI", blob[10 + 12 * k:18 + 12 * k])
+            (off,) = struct.unpack("<I", blob[18 + 12 * k:22 + 12 * k])
+            tags[tag] = (typ, cnt, off)
+        typ, cnt, off = tags[34735]
+        shorts = struct.unpack(f"<{cnt}H", blob[off:off + 2 * cnt])
+        return {shorts[4 + 4 * i]: shorts[7 + 4 * i] for i in range(shorts[3])}
+
+    proj = encode_geotiff(g, crs="EPSG:32633")
+    keys = geokey_ids(proj)
+    assert keys[3072] == 32633 and keys[1024] == 1 and 2048 not in keys
+    assert decode_geotiff(proj)[1]["crs"] == "EPSG:32633"
+
+    geo = encode_geotiff(g, crs="EPSG:4326")
+    keys = geokey_ids(geo)
+    assert keys[2048] == 4326 and keys[1024] == 2 and 3072 not in keys
+    assert decode_geotiff(geo)[1]["crs"] == "EPSG:4326"
+
+    plain = encode_geotiff(g, crs="ENGINE:PLANE")
+    keys = geokey_ids(plain)
+    assert keys[1024] == 32767 and 3072 not in keys and 2048 not in keys
+    assert decode_geotiff(plain)[1]["crs"] == "ENGINE:PLANE"
+
+
+def test_geotiff_unsupported_variants_fail_clearly():
+    """Round 2 decoded predictor-2 deflate files without error and
+    SILENTLY WRONG, and tiled files died in zip(None, None) — every
+    unsupported combination must now raise a clear ValueError."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    g = np.ones((4, 4), dtype=np.float32)
+    with pytest.raises(ValueError, match="integer-only"):
+        encode_geotiff(g, predictor=2)  # float + pred2 invalid
+    with pytest.raises(ValueError, match="float-only"):
+        encode_geotiff(g, dtype="u2", predictor=3)
+    with pytest.raises(ValueError, match="multiples of 16"):
+        encode_geotiff(g, tile_size=(10, 16))
+    with pytest.raises(ValueError, match="predictor 9"):
+        encode_geotiff(g, predictor=9)
+
+    # a file with neither StripOffsets nor TileOffsets
+    buf = struct.pack("<2sHI", b"II", 42, 8) + struct.pack("<H", 4)
+    for tag, typ, val in ((256, 4, 2), (257, 4, 2), (258, 3, 32), (339, 3, 3)):
+        buf += struct.pack("<HHI", tag, typ, 1) + struct.pack(
+            "<" + {3: "H", 4: "I"}[typ], val).ljust(4, b"\x00")
+    buf += struct.pack("<I", 0)
+    with pytest.raises(ValueError, match="StripOffsets .273. or TileOffsets"):
+        decode_geotiff(buf)
+
+    # predictor 2 on float samples must refuse (not silently de-diff)
+    from pycuda_raster_spark.sources.geotiff import _unpredict
+
+    with pytest.raises(ValueError, match="predictor 2 .integer"):
+        _unpredict(b"\x00" * 16, 1, 4, np.dtype("<f4"), 2)
+
+
 def test_geotiff_e2e_slope_and_export(spark, tmp_path):
     """.tif in -> engine slope -> .tif out; engine result == whole-grid
     NumPy oracle bit-for-bit, and the exported product re-reads exactly."""

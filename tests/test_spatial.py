@@ -91,6 +91,96 @@ def test_range_join_exact(spark, points):
     assert got == want
 
 
+def test_knn_hot_cell_splits_under_aqe_and_stays_exact(spark):
+    """Deliberately skewed corpus — 80% of queries AND sites in ONE cell —
+    must (a) have its candidate join split by AQE (SortMergeJoin gains
+    skew=true: the hot cell's shuffle partition is divided across tasks,
+    no single-task straggler) and (b) still produce the brute-force kNN
+    answer exactly. This is the 100 TB posture for spatially clumped data
+    (cities, coastlines): the equi-join key is splittable BECAUSE the
+    site side can be replicated per split, which AQE does for free."""
+    from pycuda_raster_spark.functions import cellindex
+
+    cs = cellindex.cell_size(RES)
+    rng = np.random.default_rng(9)
+
+    def pts(n):
+        hot = rng.uniform(0.1 * cs, 0.9 * cs, size=(int(n * 0.8), 2))
+        cold = rng.uniform(0.0, 100.0 * cs, size=(n - len(hot), 2))
+        return np.vstack([hot, cold])
+
+    qxy, sxy = pts(6000), pts(600)
+    q = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(qxy)],
+        "point_id long, x double, y double")
+    s = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(sxy)],
+        "site_id long, x double, y double")
+
+    conf = spark.conf
+    saved = {k: conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled")}
+    try:
+        # scale AQE's skew thresholds down to test-corpus size (the
+        # defaults are 256MB-class; the mechanism is identical)
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        out = knn_join(q, s, k=3, res=RES, ring=1)
+        got = {(r.point_id, r.site_id, r.rank) for r in out.collect()}
+        plan = out._jdf.queryExecution().executedPlan().toString()
+    finally:
+        for k, v in saved.items():
+            conf.unset(k) if v is None else conf.set(k, v)
+    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+
+    # brute-force golden (dist asc, site_id asc tie-break)
+    d = np.hypot(qxy[:, None, 0] - sxy[None, :, 0],
+                 qxy[:, None, 1] - sxy[None, :, 1])
+    order = np.lexsort((np.broadcast_to(np.arange(len(sxy)), d.shape), d), axis=1)
+    want = {(qi, int(order[qi, r]), r + 1)
+            for qi in range(len(qxy)) for r in range(3)}
+    assert got == want
+
+
+def test_pip_hot_cell_broadcast_is_skew_proof(spark):
+    """PIP with the same 80%-one-cell corpus: the zones side broadcasts,
+    so there is NO shuffle partition to skew — the hot rows stay spread
+    across the scan's input partitions. Assert the plan shape holds on a
+    skewed corpus and the result is still the exact ray-cast answer."""
+    from pycuda_raster_spark.fixtures import point_in_ring
+    from pycuda_raster_spark.functions import cellindex
+
+    zones = build_zones(8, res=RES)
+    zdf = spark.createDataFrame(zones)
+    # 80% of points jittered inside the first zone's first cover cell
+    hot_cell = np.int64(zones[0]["cover_cells"][0])
+    cs = cellindex.cell_size(RES)
+    bx0, by0, bx1, by1 = cellindex.cell_bounds(hot_cell)
+    hx, hy = (float(bx0) + float(bx1)) / 2, (float(by0) + float(by1)) / 2
+    rng = np.random.default_rng(13)
+    hot = np.column_stack([hx + rng.uniform(-0.5, 0.5, 2400) * cs,
+                           hy + rng.uniform(-0.5, 0.5, 2400) * cs])
+    cold = rng.uniform(0.0, 100.0 * cs, size=(600, 2))
+    xy = np.vstack([hot, cold])
+    pdf = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(xy)],
+        "point_id long, x double, y double")
+    out = pip_join(pdf, zdf, res=RES)
+    got = {(r.point_id, r.zone_id) for r in out.collect()}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+    want = set()
+    for z in zones:
+        inside = point_in_ring(xy[:, 0], xy[:, 1], z["ring"])
+        want |= {(int(i), z["zone_id"]) for i in np.nonzero(inside)[0]}
+    assert got == want
+
+
 def test_knn_broadcast_and_skew_plan(spark, points):
     """Plan sanity: candidate join must not degenerate to cartesian, and
     the pip broadcast hint must produce a BroadcastHashJoin."""
