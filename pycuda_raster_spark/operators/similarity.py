@@ -137,6 +137,11 @@ def ivf_topk(
     qrows = queries.select(F.col(query_id_col).alias("qid"), F.col(vec_col).alias("v")).collect()
     qids = np.array([r.qid for r in qrows], dtype=np.int64)
     qmat = _normalize(np.array([np.asarray(r.v, dtype=np.float64) for r in qrows]))
+    if qmat.shape[1] != centroids.shape[1]:
+        raise ValueError(
+            f"embedding dim {qmat.shape[1]} != codebook dim "
+            f"{centroids.shape[1]} — rebuild centroids for this table"
+        )
     # stable: exact dot-product ties between centroids resolve to the
     # lowest cid, matching the oracle's ORDER BY dot DESC, cid (and the
     # join path's probes UDF — both paths must pick identical probe sets)
