@@ -11,7 +11,10 @@ Scope (deliberate, documented):
 * STRIP layout (RowsPerStrip) and TILED layout (TileWidth/TileLength/
   TileOffsets/TileByteCounts, tags 322-325 — the COG/GDAL-tiled case),
   both read and write;
-* Compression 1 (none) or 8 (zlib/deflate);
+* Compression 1 (none), 5 (LZW, MSB-first with the TIFF early-change
+  rule — the other GDAL default besides deflate) or 8 (zlib/deflate);
+  LZW is a sequential pure-Python path kept for compatibility — deflate
+  is the throughput choice for engine-written files;
 * Predictor (tag 317): 1 (none), 2 (horizontal sample differencing —
   GDAL's default companion for deflate on integer data) and 3 (the
   TIFF TechNote-3 floating-point predictor: per-row byte-plane
@@ -61,6 +64,106 @@ _DTYPES = {  # on-disk dtype -> (SampleFormat, BitsPerSample)
     "f4": (3, 32),
     "u2": (1, 16),
 }
+
+
+_LZW_CLEAR, _LZW_EOI = 256, 257
+
+
+def _lzw_compress(src: bytes) -> bytes:
+    """TIFF-flavor LZW: MSB-first bit packing, 9->12 bit codes, CLEAR=256 /
+    EOI=257, and the spec's "early change" (code width grows when the next
+    free code reaches 2^bits - 1, one code earlier than vanilla LZW)."""
+    out = bytearray()
+    acc = 0
+    acc_bits = 0
+
+    def emit(code: int, bits: int) -> None:
+        nonlocal acc, acc_bits
+        acc = (acc << bits) | code
+        acc_bits += bits
+        while acc_bits >= 8:
+            acc_bits -= 8
+            out.append((acc >> acc_bits) & 0xFF)
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code, bits = 258, 9
+    emit(_LZW_CLEAR, bits)
+    w = b""
+    for i in range(len(src)):
+        c = src[i : i + 1]
+        wc = w + c
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], bits)
+        table[wc] = next_code
+        next_code += 1
+        # the encoder's table add runs ONE code ahead of the decoder's
+        # (the decoder reconstructs entry k only after reading code k+1),
+        # so the encoder widens at 2^bits while the decoder widens at
+        # 2^bits - 1 — together that is the TIFF "early change" (both
+        # sides switch one code earlier than vanilla LZW; libtiff
+        # tif_lzw.c uses exactly these two thresholds)
+        if next_code == 4094:  # table nearly full -> CLEAR (as libtiff)
+            emit(_LZW_CLEAR, bits)
+            table = {bytes([i]): i for i in range(256)}
+            next_code, bits = 258, 9
+        elif next_code == (1 << bits) and bits < 12:
+            bits += 1
+        w = c
+    if w:
+        emit(table[w], bits)
+        # no table add on the flush emit, so encoder and decoder counts
+        # are equal here: the decoder widens before reading the EOI when
+        # its free slot hits 2^bits - 1 — mirror that
+        if next_code == (1 << bits) - 1 and bits < 12:
+            bits += 1
+    emit(_LZW_EOI, bits)
+    if acc_bits:
+        out.append((acc << (8 - acc_bits)) & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decompress(src: bytes) -> bytes:
+    """Inverse of ``_lzw_compress``; also reads libtiff/GDAL streams (same
+    early-change convention)."""
+    out = bytearray()
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    bits, next_code = 9, 258
+    bitpos = 0
+    nbits = len(src) * 8
+    prev: bytes | None = None
+    src_pad = src + b"\x00\x00\x00\x00"
+    while bitpos + bits <= nbits:
+        byte_i = bitpos >> 3
+        window = int.from_bytes(src_pad[byte_i : byte_i + 4], "big")
+        code = (window >> (32 - (bitpos & 7) - bits)) & ((1 << bits) - 1)
+        bitpos += bits
+        if code == _LZW_EOI:
+            break
+        if code == _LZW_CLEAR:
+            table = table[:258]
+            bits, next_code = 9, 258
+            prev = None
+            continue
+        if prev is None:
+            if code > 255:
+                raise ValueError("corrupt LZW stream (first code not literal)")
+            entry = table[code]
+        else:
+            if code < next_code:
+                entry = table[code]
+            elif code == next_code:
+                entry = prev + prev[:1]  # KwKwK
+            else:
+                raise ValueError(f"corrupt LZW stream (code {code} ahead of table)")
+            table.append(prev + entry[:1])
+            next_code += 1
+            if next_code == (1 << bits) - 1 and bits < 12:
+                bits += 1
+        out += entry
+        prev = entry
+    return bytes(out)
 
 
 def _predict(block: np.ndarray, predictor: int) -> bytes:
@@ -144,12 +247,16 @@ def encode_geotiff(
         raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
     h, w = grid.shape
     data = np.ascontiguousarray(grid[::-1]).astype("<" + dtype)  # north-up
-    comp_id = {"none": 1, "deflate": 8}[compression]
+    comp_id = {"none": 1, "lzw": 5, "deflate": 8}[compression]
     fmt_id, bits = _DTYPES[dtype]
 
     def pack(block: np.ndarray) -> bytes:
         raw = _predict(np.ascontiguousarray(block), predictor)
-        return zlib.compress(raw, 6) if comp_id == 8 else raw
+        if comp_id == 8:
+            return zlib.compress(raw, 6)
+        if comp_id == 5:
+            return _lzw_compress(raw)
+        return raw
 
     tiled = tile_size is not None
     chunks: list[bytes] = []
@@ -329,7 +436,7 @@ def _parse_crs(tags, bo) -> str | None:
 def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     """GeoTIFF bytes -> (south-up float32 grid, header dict with
     x0/y0/cellsize/nodata/crs). Strip and tiled layouts, predictor 1/2/3,
-    none/deflate. External NODATA values are mapped to the engine
+    none/lzw/deflate. External NODATA values are mapped to the engine
     sentinel."""
     bo = {b"II": "<", b"MM": ">"}[bytes(data[:2])]
     (magic,) = struct.unpack(bo + "H", data[2:4])
@@ -352,8 +459,8 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         dtype = np.dtype(bo + "u2")
     else:
         raise ValueError(f"unsupported sample format/bits: {fmt}/{bits}")
-    if comp not in (1, 8):
-        raise ValueError(f"unsupported compression {comp} (none/deflate only)")
+    if comp not in (1, 5, 8):
+        raise ValueError(f"unsupported compression {comp} (none/lzw/deflate only)")
     if predictor not in (1, 2, 3):
         raise ValueError(f"unsupported predictor {predictor} (1/2/3 only)")
 
@@ -361,6 +468,9 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
         raw = bytes(data[off : off + cnt])
         if comp == 8:
             raw = zlib.decompress(raw)
+        elif comp == 5:
+            # writers may pad the final strip/tile; keep the exact payload
+            raw = _lzw_decompress(raw)[: n_rows * n_cols * dtype.itemsize]
         return _unpredict(raw, n_rows, n_cols, dtype, predictor)
 
     if _TILE_OFF in tags:  # tiled layout (tags 322-325)

@@ -163,6 +163,77 @@ def test_geotiff_tiled_and_predictor_match_strip_twin(spark, tmp_path):
             decode(bytes(r.bytes), "raw", r.w, r.h), golden, err_msg=name)
 
 
+def test_lzw_bitstream_pinned_and_roundtrips():
+    """TIFF-flavor LZW, pinned at the bit level (independent of the
+    decoder, so a paired encoder+decoder bug can't hide): b"A" must emit
+    exactly CLEAR(256), 65, EOI(257) as 9-bit MSB-first codes =
+    0x80 0x10 0x60 0x20. Then the stress cases: the KwKwK pattern
+    (code == next free entry), every code-width transition
+    (511/1023/2047 with the early-change rule) and the 4094-entry CLEAR
+    reset, via roundtrips on data shaped to cross each threshold."""
+    from pycuda_raster_spark.sources.geotiff import (
+        _lzw_compress,
+        _lzw_decompress,
+    )
+
+    assert _lzw_compress(b"A") == bytes([0x80, 0x10, 0x60, 0x20])
+    assert _lzw_decompress(bytes([0x80, 0x10, 0x60, 0x20])) == b"A"
+    assert _lzw_decompress(_lzw_compress(b"")) == b""
+    # KwKwK: decoding "aaaa" hits code==next_code (entry not yet in table)
+    assert _lzw_decompress(_lzw_compress(b"aaaa")) == b"aaaa"
+
+    rng = np.random.default_rng(5)
+    cases = [
+        b"ab" * 4000,                       # long repeats, slow table growth
+        bytes(range(256)) * 64,             # cyclic, dense literal reuse
+        rng.integers(0, 256, 60_000, dtype=np.uint8).tobytes(),  # incompressible:
+        # ~1 table add per 2 bytes -> crosses 511/1023/2047 AND the 4094
+        # CLEAR reset several times
+        rng.integers(0, 4, 3_000, dtype=np.uint8).tobytes(),
+    ]
+    for i, payload in enumerate(cases):
+        assert _lzw_decompress(_lzw_compress(payload)) == payload, f"case {i}"
+    # exact width-transition boundaries: trim incompressible data so the
+    # final code lands just before/on/after each bump
+    blob = rng.integers(0, 256, 9000, dtype=np.uint8).tobytes()
+    for n in (505, 506, 507, 1020, 1021, 2044, 2045, 8188, 8189):
+        assert _lzw_decompress(_lzw_compress(blob[:n])) == blob[:n], n
+
+
+def test_geotiff_lzw_variants_match_strip_twin(spark, tmp_path):
+    """LZW (compression 5) files — strip, tiled, and with predictors 2/3
+    (GDAL's common LZW companions) — decode bit-identically to the
+    uncompressed twin, and read_raster_files dispatches them."""
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.default_rng(33)
+    g = rng.uniform(-50, 2000, size=(37, 29)).astype(np.float32)
+    g[10:13, 4:9] = NODATA
+    golden, _ = decode_geotiff(encode_geotiff(g, cellsize=5.0, compression="none"))
+    variants = {
+        "lzw_strip": dict(compression="lzw"),
+        "lzw_tiled": dict(compression="lzw", tile_size=(16, 16)),
+        "lzw_pred3": dict(compression="lzw", predictor=3),
+    }
+    for name, kw in variants.items():
+        blob = encode_geotiff(g, cellsize=5.0, **kw)
+        out, hdr = decode_geotiff(blob)
+        np.testing.assert_array_equal(out, golden, err_msg=name)
+        (tmp_path / f"{name}.tif").write_bytes(blob)
+
+    gu = rng.integers(1, 60000, size=(20, 45)).astype(np.uint16)
+    out, _ = decode_geotiff(
+        encode_geotiff(gu.astype(np.float32), dtype="u2", nodata=0,
+                       compression="lzw", predictor=2))
+    np.testing.assert_array_equal(out, gu.astype(np.float32))
+
+    rows = {r.image_id: r for r in read_raster_files(spark, str(tmp_path)).collect()}
+    assert set(rows) == {f"{n}.tif" for n in variants}
+    for name, r in rows.items():
+        np.testing.assert_array_equal(
+            decode(bytes(r.bytes), "raw", r.w, r.h), golden, err_msg=name)
+
+
 def test_geotiff_hand_built_predictor2_fixture():
     """Predictor-2 decode pinned against a HAND-diffed uint16 strip file
     (independent of our encoder, so an encoder+decoder paired bug can't
