@@ -631,6 +631,51 @@ def _r_rasterize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return masks.select("image_id", "tile_y", covered.cast("long").alias("n_zone_px"))
 
 
+def _r_resample_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed grid resample, nearest (the gdalwarp-style capability;
+    SURVEY.md §2 warp gap): every 32x32 corpus image -> 24x20, output as
+    (image_id, r, c, val) pixels. Sampling is pure integer math
+    (src = ((2R+1)*h) // (2*out_h)) and values pass through untouched, so
+    the oracle re-derives every pixel from the ground-truth table."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.resample import resample_tiles
+
+    images, _, _ = _corpus(spark)
+    out = resample_tiles(decode_tiles(images, tile_rows=8), 24, 20,
+                         method="nearest")
+    return out.select(
+        "image_id", "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(20))) / 20)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(20)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
+def _r_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bilinear upsample 32x32 -> 48x10 (rows upsampled across the edge
+    clamp, cols downsampled). The fixed fold order + float32 output cast
+    makes the oracle value-EXACT (CLAUDE.md bit-parity recipe); NODATA
+    poisons exactly the nonzero-weight stencils on both sides."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.resample import resample_tiles
+
+    images, _, _ = _corpus(spark)
+    out = resample_tiles(decode_tiles(images, tile_rows=8), 48, 10,
+                         method="bilinear")
+    return out.select(
+        "image_id", "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(10))) / 10)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(10)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
 def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary-payload feature extraction (multimodal plumbing). Output
     keeps the ORDER-INDEPENDENT stats (min/max of decoded pixels) so the
@@ -912,6 +957,69 @@ def _corpus_oracles() -> dict[str, str]:
           AND bit_count(xor(a.phash, b.phash)) <= 4
     """
 
+    # resample oracles: identical rational index math as the engine
+    # (num = (2*out+1)*in - out_n held exactly as integers; one
+    # correctly-rounded double division for the bilinear weight; fixed
+    # fold order; float32 output cast) -> value-exact, not allclose
+    resample_n = f"""
+        WITH rr AS (SELECT CAST(v AS BIGINT) AS ro
+                    FROM unnest(generate_series(0, 23)) AS t(v)),
+        cc AS (SELECT CAST(v AS BIGINT) AS co
+               FROM unnest(generate_series(0, 19)) AS t(v))
+        SELECT p.image_id, CAST(rr.ro AS INT) AS r, CAST(cc.co AS INT) AS c,
+               CAST(p.val AS DOUBLE) AS val
+        FROM rr, cc, {pixels} p
+        WHERE p.r = (2 * rr.ro + 1) * 32 // 48
+          AND p.c = (2 * cc.co + 1) * 32 // 40
+    """
+
+    resample_b = f"""
+        WITH r2 AS (
+            SELECT ro, num // 96 AS r0,
+                   CAST(num % 96 AS DOUBLE) / CAST(96 AS DOUBLE) AS fr
+            FROM (SELECT CAST(v AS BIGINT) AS ro,
+                         GREATEST(CAST(0 AS BIGINT),
+                                  LEAST((2 * CAST(v AS BIGINT) + 1) * 32 - 48,
+                                        CAST(2976 AS BIGINT))) AS num
+                  FROM unnest(generate_series(0, 47)) AS t(v))
+        ),
+        c2 AS (
+            SELECT co, num // 20 AS c0,
+                   CAST(num % 20 AS DOUBLE) / CAST(20 AS DOUBLE) AS fc
+            FROM (SELECT CAST(v AS BIGINT) AS co,
+                         GREATEST(CAST(0 AS BIGINT),
+                                  LEAST((2 * CAST(v AS BIGINT) + 1) * 32 - 10,
+                                        CAST(620 AS BIGINT))) AS num
+                  FROM unnest(generate_series(0, 9)) AS t(v))
+        ),
+        g AS (
+            SELECT i.image_id, r2.ro, r2.r0, LEAST(r2.r0 + 1, 31) AS r1, r2.fr,
+                   c2.co, c2.c0, LEAST(c2.c0 + 1, 31) AS c1, c2.fc
+            FROM (SELECT DISTINCT image_id FROM {pixels}) i, r2, c2
+        ),
+        j AS (
+            SELECT g.image_id, g.ro, g.co, g.fr, g.fc,
+                   CAST(p00.val AS DOUBLE) AS v00, CAST(p01.val AS DOUBLE) AS v01,
+                   CAST(p10.val AS DOUBLE) AS v10, CAST(p11.val AS DOUBLE) AS v11
+            FROM g
+            JOIN {pixels} p00 ON p00.image_id = g.image_id AND p00.r = g.r0 AND p00.c = g.c0
+            JOIN {pixels} p01 ON p01.image_id = g.image_id AND p01.r = g.r0 AND p01.c = g.c1
+            JOIN {pixels} p10 ON p10.image_id = g.image_id AND p10.r = g.r1 AND p10.c = g.c0
+            JOIN {pixels} p11 ON p11.image_id = g.image_id AND p11.r = g.r1 AND p11.c = g.c1
+        )
+        SELECT image_id, CAST(ro AS INT) AS r, CAST(co AS INT) AS c,
+               CASE WHEN (v00 = CAST(-9999 AS DOUBLE) AND (1 - fr) * (1 - fc) > CAST(0 AS DOUBLE))
+                      OR (v01 = CAST(-9999 AS DOUBLE) AND (1 - fr) * fc > CAST(0 AS DOUBLE))
+                      OR (v10 = CAST(-9999 AS DOUBLE) AND fr * (1 - fc) > CAST(0 AS DOUBLE))
+                      OR (v11 = CAST(-9999 AS DOUBLE) AND fr * fc > CAST(0 AS DOUBLE))
+                    THEN CAST(-9999 AS DOUBLE)
+                    ELSE CAST(CAST((v00 * (1 - fc) + v01 * fc) * (1 - fr)
+                                   + (v10 * (1 - fc) + v11 * fc) * fr
+                              AS FLOAT) AS DOUBLE)
+               END AS val
+        FROM j
+    """
+
     rasterize = f"""
         WITH i AS (SELECT * FROM {images} WHERE image_id < 'img000008'),
         cellpts AS (
@@ -1042,6 +1150,8 @@ def _corpus_oracles() -> dict[str, str]:
         "r_range_join": range_join,
         "r_phash_dedup": phash,
         "r_rasterize": rasterize,
+        "r_resample_nearest": resample_n,
+        "r_resample_bilinear": resample_b,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_ngram_pairs": ngram,
@@ -1111,6 +1221,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_range_join": _r_range_join,
             "r_phash_dedup": _r_phash_dedup,
             "r_rasterize": _r_rasterize,
+            "r_resample_nearest": _r_resample_nearest,
+            "r_resample_bilinear": _r_resample_bilinear,
             "r_multimodal_features": _r_multimodal_features,
             # rows-only: engine-specific approximation (approx aggs), a
             # Spark-only hash family (xxhash64 simhash), and the banded-LSH
