@@ -526,6 +526,33 @@ def _r_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_focal_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem's other three 3x3 terrain products — TRI (Riley), TPI,
+    roughness (the same public tool the reference's golden tests compare
+    against, B:6) — per-tile valid count + sequential-fold sums; same
+    oracle scheme as r_focal_slope (DuckDB re-derives all three from the
+    8-neighbor window over the ground-truth pixel table)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import terrain_tiles
+
+    images, _, _ = _corpus(spark)
+    out = terrain_tiles(decode_tiles(images, tile_rows=8))
+
+    def fold(name):
+        valid = F.filter(name, lambda v: v != F.lit(-9999.0))
+        return F.round(
+            F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")), 2)
+
+    n_valid = F.size(F.filter("tri", lambda v: v != F.lit(-9999.0)))
+    return out.select(
+        "image_id", "tile_y",
+        n_valid.cast("long").alias("n_valid"),
+        fold("tri").alias("tri_sum"),
+        fold("tpi").alias("tpi_sum"),
+        fold("roughness").alias("rough_sum"),
+    )
+
+
 def _r_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.spatial import pip_join
 
@@ -919,6 +946,32 @@ def _corpus_oracles() -> dict[str, str]:
         FROM hs GROUP BY image_id, r // 8
     """
 
+    # TRI/TPI/roughness: plain +,-,*,/,sqrt and exact greatest/least over
+    # the same 8-neighbor window -> identical doubles with the engine's
+    # left-associative operand order, folded after the float32 cast
+    terrain = f"""
+        WITH {horn_win},
+        t AS (
+            SELECT image_id, r, c,
+                   CAST(sqrt((a - ee) * (a - ee) + (b - ee) * (b - ee)
+                        + (cc - ee) * (cc - ee) + (d - ee) * (d - ee)
+                        + (f - ee) * (f - ee) + (g - ee) * (g - ee)
+                        + (h - ee) * (h - ee) + (i2 - ee) * (i2 - ee))
+                        AS FLOAT) AS tri,
+                   CAST(ee - (a + b + cc + d + f + g + h + i2)
+                        / CAST(8 AS DOUBLE) AS FLOAT) AS tpi,
+                   CAST(greatest(a, b, cc, d, ee, f, g, h, i2)
+                        - least(a, b, cc, d, ee, f, g, h, i2) AS FLOAT) AS rough
+            FROM win
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               round({_fold_sql("list(CAST(tri AS DOUBLE) ORDER BY r, c)")}, 2) AS tri_sum,
+               round({_fold_sql("list(CAST(tpi AS DOUBLE) ORDER BY r, c)")}, 2) AS tpi_sum,
+               round({_fold_sql("list(CAST(rough AS DOUBLE) ORDER BY r, c)")}, 2) AS rough_sum
+        FROM t GROUP BY image_id, r // 8
+    """
+
     pip = f"""
         SELECT p.point_id, z.zone_id
         FROM {points} p, {zones} z
@@ -1144,6 +1197,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_focal_slope": slope,
         "r_focal_aspect": aspect,
         "r_focal_hillshade": hillshade,
+        "r_focal_terrain": terrain,
         "r_pip_join": pip,
         "r_knn_join": knn,
         "r_knn_tiles": knn_tiles,
@@ -1215,6 +1269,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_slope": _r_focal_slope,
             "r_focal_aspect": _r_focal_aspect,
             "r_focal_hillshade": _r_focal_hillshade,
+            "r_focal_terrain": _r_focal_terrain,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
             "r_knn_tiles": _r_knn_tiles,

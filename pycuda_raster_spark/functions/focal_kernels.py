@@ -107,10 +107,59 @@ def horn_products(
     return slope, aspect, hillshade
 
 
+def terrain_products(
+    grid: np.ndarray,
+    halo_top: np.ndarray | None = None,
+    halo_bot: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """The other three gdaldem 3x3 terrain products (same public tool the
+    reference's golden tests compare against, B:6) — none uses cellsize:
+
+    * **TRI** (Riley): sqrt of the sum of squared center-vs-neighbor
+      differences;
+    * **TPI**: center minus the mean of the 8 neighbors;
+    * **roughness**: window max minus window min (all 9 cells).
+
+    Same padded-window / NODATA-propagation / edge policy as
+    ``horn_products``; float32 outputs. Operand order is FIXED
+    (left-associative sums, x*x squares) so the DuckDB oracle reproduces
+    the doubles before the float32 cast (CLAUDE.md parity recipe)."""
+    g = _padded(np.asarray(grid, dtype=np.float64), halo_top, halo_bot)
+    nd = g == NODATA
+
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+
+    bad = (
+        nd[:-2, :-2] | nd[:-2, 1:-1] | nd[:-2, 2:]
+        | nd[1:-1, :-2] | nd[1:-1, 1:-1] | nd[1:-1, 2:]
+        | nd[2:, :-2] | nd[2:, 1:-1] | nd[2:, 2:]
+    )
+
+    tri = np.sqrt(
+        (a - e) * (a - e) + (b - e) * (b - e) + (c - e) * (c - e)
+        + (d - e) * (d - e) + (f - e) * (f - e) + (gg - e) * (gg - e)
+        + (hh - e) * (hh - e) + (ii - e) * (ii - e)
+    )
+    tpi = e - (a + b + c + d + f + gg + hh + ii) / 8.0
+    rough = (
+        np.maximum.reduce([a, b, c, d, e, f, gg, hh, ii])
+        - np.minimum.reduce([a, b, c, d, e, f, gg, hh, ii])
+    )
+
+    tri = np.where(bad, NODATA, tri).astype(np.float32)
+    tpi = np.where(bad, NODATA, tpi).astype(np.float32)
+    rough = np.where(bad, NODATA, rough).astype(np.float32)
+    return tri, tpi, rough
+
+
 def oracle_whole_grid(grid: np.ndarray, cellsize: float) -> dict[str, np.ndarray]:
     """Whole-grid (untiled) golden oracle — plays the role GDAL played for
     the reference's comparison tests (B:6; GDAL absent in sandbox). The
     tiled engine output must match this exactly: that is the
     halo-correctness gate (SURVEY.md §5.1-5.2)."""
     s, a, h = horn_products(grid, cellsize)
-    return {"slope": s, "aspect": a, "hillshade": h}
+    tri, tpi, rough = terrain_products(grid)
+    return {"slope": s, "aspect": a, "hillshade": h,
+            "tri": tri, "tpi": tpi, "roughness": rough}

@@ -76,6 +76,61 @@ def focal_products(tiles: DataFrame, products: tuple[str, ...] = PRODUCTS) -> Da
     return tiles.select(*cols).mapInPandas(gen, schema=FOCAL_SCHEMA)
 
 
+TERRAIN_PRODUCTS = ("tri", "tpi", "roughness")
+
+TERRAIN_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, caption string, psnr double, "
+    "tri array<float>, tpi array<float>, roughness array<float>"
+)
+
+
+def terrain_tiles(tiles: DataFrame,
+                  products: tuple[str, ...] = TERRAIN_PRODUCTS) -> DataFrame:
+    """tiles with halo_top/halo_bot -> gdaldem TRI/TPI/roughness tiles —
+    same mapInPandas shape (and the same one-pass fan-out rationale) as
+    ``focal_products``; the three share the window so they cost one pass."""
+    from ..functions.focal_kernels import terrain_products
+
+    want = set(products)
+    unknown = want - set(TERRAIN_PRODUCTS)
+    if unknown:
+        raise ValueError(f"unknown products: {sorted(unknown)}")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
+                "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
+                "h": pdf["h"], "cellsize": pdf["cellsize"], "x0": pdf["x0"],
+                "y0": pdf["y0"], "crs": pdf["crs"], "caption": pdf["caption"],
+                "psnr": pdf["psnr"],
+                "tri": [None] * n, "tpi": [None] * n, "roughness": [None] * n,
+            }
+            for i in range(n):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                grid = np.asarray(pdf["px"].iat[i], dtype=np.float32).reshape(th, w)
+                ht = pdf["halo_top"].iat[i]
+                hb = pdf["halo_bot"].iat[i]
+                tri, tpi, rough = terrain_products(
+                    grid,
+                    halo_top=None if ht is None else np.asarray(ht, dtype=np.float32),
+                    halo_bot=None if hb is None else np.asarray(hb, dtype=np.float32),
+                )
+                if "tri" in want:
+                    out["tri"][i] = tri.ravel()
+                if "tpi" in want:
+                    out["tpi"][i] = tpi.ravel()
+                if "roughness" in want:
+                    out["roughness"][i] = rough.ravel()
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
+            "y0", "crs", "caption", "psnr", "px", "halo_top", "halo_bot"]
+    return tiles.select(*cols).mapInPandas(gen, schema=TERRAIN_SCHEMA)
+
+
 _FUSED_COMMON = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
     "cellsize double, x0 double, y0 double, crs string, caption string, phash long, psnr double, "

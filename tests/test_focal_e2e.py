@@ -76,6 +76,51 @@ def test_fused_halo_tiling_matches_oracle(spark, images_df, tile_rows):
             )
 
 
+@pytest.mark.parametrize("tile_rows", [8, 13, 40])
+def test_terrain_tiling_matches_oracle(spark, images_df, tile_rows):
+    """gdaldem TRI/TPI/roughness: tiled engine == whole-grid oracle
+    bit-for-bit at every tile height (seam/halo correctness), and the
+    lag/lead halo_exchange path agrees with the fused-halo path."""
+    from pycuda_raster_spark.functions.codecs import decode
+    from pycuda_raster_spark.operators.focal import terrain_tiles
+
+    tiles = decode_tiles(images_df, tile_rows=tile_rows)
+    rows = terrain_tiles(tiles).select(
+        "image_id", "ty0", "th", "w", "h", "tri", "tpi", "roughness").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, []).append(r)
+    got = {}
+    for iid, ts in per.items():
+        ts.sort(key=lambda r: r.ty0)
+        got[iid] = {
+            p: np.vstack([np.asarray(t[p], np.float32).reshape(t.th, t.w) for t in ts])
+            for p in ("tri", "tpi", "roughness")
+        }
+    for row in images_df.select("image_id", "bytes", "fmt", "w", "h").collect():
+        g = decode(bytes(row.bytes), row.fmt, row.w, row.h)
+        o = oracle_whole_grid(g, 1.0)
+        for p in ("tri", "tpi", "roughness"):
+            np.testing.assert_array_equal(
+                got[row.image_id][p], o[p],
+                err_msg=f"{row.image_id}/{p} tile_rows={tile_rows}")
+
+
+def test_terrain_halo_exchange_equals_fused(spark, images_df):
+    from pycuda_raster_spark.operators.focal import terrain_tiles
+
+    fused = decode_tiles(images_df, tile_rows=16)
+    exchanged = halo_exchange(strip_halos(fused))
+    key = lambda r: (r.image_id, r.ty0)  # noqa: E731
+    a = {key(r): r for r in terrain_tiles(fused).collect()}
+    b = {key(r): r for r in terrain_tiles(exchanged).collect()}
+    assert set(a) == set(b)
+    for k in a:
+        for p in ("tri", "tpi", "roughness"):
+            np.testing.assert_array_equal(
+                np.asarray(a[k][p], np.float32), np.asarray(b[k][p], np.float32))
+
+
 def test_halo_exchange_equals_fused(spark, images_df):
     fused = decode_tiles(images_df, tile_rows=16)
     exchanged = halo_exchange(strip_halos(fused))

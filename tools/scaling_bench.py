@@ -177,7 +177,7 @@ def main() -> None:
         f"| {lo['lsh_sec']} | {hi['lsh_sec']} | {lo['lsh_sec']/hi['lsh_sec']:.2f} |"
         for i, (lo, hi) in enumerate(pairs)
     )
-    md = f"""# BENCH/BASELINE — measured numbers (round 2)
+    md = f"""# BENCH/BASELINE — measured numbers (round {os.environ.get('SPARK_GRAFT_ROUND', '3')})
 
 Protocol (BASELINE.md): same flagship pipeline (scan -> fused decode +
 Horn slope/aspect/hillshade -> tile rows to JVM -> PIP zonal stats),
