@@ -9,9 +9,9 @@ engine keeps that exact shape:
 
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
-hillshade}. Each OUT receives a
-parquet tile table for its product (one input pass computes all requested
-products — the reference's multi-output fan-out).
+hillshade, tri, tpi, roughness} (the gdaldem product set). Each OUT
+receives a parquet tile table for its product (one input pass computes
+all requested products — the reference's multi-output fan-out).
 """
 
 from __future__ import annotations
@@ -27,11 +27,11 @@ def main(argv: list[str]) -> int:
         return 2
     inp, pairs = args[0], list(zip(args[1::2], args[2::2]))
     products = tuple(func for _, func in pairs)
-    from .operators.focal import PRODUCTS, decode_focal_arrow as decode_focal
+    from .operators.focal import ALL_PRODUCTS, decode_focal_arrow as decode_focal
 
-    bad = set(products) - set(PRODUCTS)
+    bad = set(products) - set(ALL_PRODUCTS)
     if bad:
-        print(f"unknown products: {sorted(bad)}; available: {PRODUCTS}")
+        print(f"unknown products: {sorted(bad)}; available: {ALL_PRODUCTS}")
         return 2
 
     from .session import get_spark

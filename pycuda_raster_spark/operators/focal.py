@@ -131,6 +131,8 @@ def terrain_tiles(tiles: DataFrame,
     return tiles.select(*cols).mapInPandas(gen, schema=TERRAIN_SCHEMA)
 
 
+ALL_PRODUCTS = PRODUCTS + TERRAIN_PRODUCTS
+
 _FUSED_COMMON = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
     "cellsize double, x0 double, y0 double, crs string, caption string, phash long, psnr double, "
@@ -138,10 +140,10 @@ _FUSED_COMMON = (
     "pn bigint, ps double, pss double, pmin double, pmax double"
 )
 FUSED_SCHEMA = _FUSED_COMMON.format(
-    px_cols="slope array<float>, aspect array<float>, hillshade array<float>"
+    px_cols=", ".join(f"{p} array<float>" for p in ALL_PRODUCTS)
 )
 FUSED_SCHEMA_BIN = _FUSED_COMMON.format(
-    px_cols="slope binary, aspect binary, hillshade binary"
+    px_cols=", ".join(f"{p} binary" for p in ALL_PRODUCTS)
 )
 
 
@@ -175,10 +177,15 @@ def decode_focal(
     bytes are flat buffer copies. Decode with numpy.frombuffer('<f4') /
     the px_f32 helper. Pass False for the analysis-friendly array schema.
     """
-    from ..functions.focal_kernels import NODATA as _ND
+    from ..functions.focal_kernels import NODATA as _ND, terrain_products
     from .decode import _ensure_geo
 
     want = set(products)
+    unknown = want - set(ALL_PRODUCTS)
+    if unknown:
+        raise ValueError(f"unknown products: {sorted(unknown)}")
+    want_horn = want & set(PRODUCTS)
+    want_terr = want & set(TERRAIN_PRODUCTS)
     images = _ensure_geo(images)
     if partitions:
         images = images.repartition(partitions, "image_id")
@@ -189,8 +196,8 @@ def decode_focal(
         for pdf in batches:
             out: dict[str, list] = {k: [] for k in (
                 "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-                "x0", "y0", "crs", "caption", "phash", "psnr", "slope",
-                "aspect", "hillshade", "pn", "ps", "pss", "pmin", "pmax")}
+                "x0", "y0", "crs", "caption", "phash", "psnr",
+                *ALL_PRODUCTS, "pn", "ps", "pss", "pmin", "pmax")}
             for row in pdf.itertuples(index=False):
                 w, h = int(row.w), int(row.h)
                 grid = codecs.decode(row.bytes, row.fmt, w, h)
@@ -198,8 +205,13 @@ def decode_focal(
                 if compute_psnr:
                     rt = codecs.decode(codecs.encode(grid, row.fmt), row.fmt, w, h)
                     p = codecs.psnr(grid, rt)
-                if want:
+                prod: dict[str, np.ndarray] = {}
+                if want_horn:
                     s, a, hs = horn_products(grid, float(row.cellsize))
+                    prod.update(slope=s, aspect=a, hillshade=hs)
+                if want_terr:
+                    tri, tpi, rough = terrain_products(grid)
+                    prod.update(tri=tri, tpi=tpi, roughness=rough)
                 n_tiles = (h + tile_rows - 1) // tile_rows
                 for t in range(n_tiles):
                     ty0 = t * tile_rows
@@ -220,16 +232,14 @@ def decode_focal(
                     out["caption"].append(row.caption)
                     out["phash"].append(int(row.phash))
                     out["psnr"].append(p)
-                    if as_binary:
-                        b = lambda arr: np.ascontiguousarray(arr, dtype="<f4").tobytes()  # noqa: E731
-                        out["slope"].append(b(s[sl]) if "slope" in want else None)
-                        out["aspect"].append(b(a[sl]) if "aspect" in want else None)
-                        out["hillshade"].append(b(hs[sl]) if "hillshade" in want else None)
-                    else:
-                        out["slope"].append(s[sl].ravel() if "slope" in want else None)
-                        out["aspect"].append(a[sl].ravel() if "aspect" in want else None)
-                        out["hillshade"].append(
-                            hs[sl].ravel() if "hillshade" in want else None)
+                    for pname in ALL_PRODUCTS:
+                        if pname not in want:
+                            out[pname].append(None)
+                        elif as_binary:
+                            out[pname].append(np.ascontiguousarray(
+                                prod[pname][sl], dtype="<f4").tobytes())
+                        else:
+                            out[pname].append(prod[pname][sl].ravel())
                     out["pn"].append(int(valid.size))
                     out["ps"].append(float(valid.sum()) if valid.size else 0.0)
                     out["pss"].append(float((valid * valid).sum()) if valid.size else 0.0)
@@ -261,12 +271,15 @@ def decode_focal_arrow(
     import pyarrow as pa
 
     from ..functions import codecs
+    from ..functions.focal_kernels import terrain_products
     from .decode import _ensure_geo
 
     want = set(products)
-    unknown = want - set(PRODUCTS)
+    unknown = want - set(ALL_PRODUCTS)
     if unknown:
         raise ValueError(f"unknown products: {sorted(unknown)}")
+    want_horn = want & set(PRODUCTS)
+    want_terr = want & set(TERRAIN_PRODUCTS)
     images = _ensure_geo(images)
     if partitions:
         images = images.repartition(partitions, "image_id")
@@ -300,8 +313,8 @@ def decode_focal_arrow(
                 "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
                 "x0", "y0", "crs", "caption", "phash", "psnr",
                 "pn", "ps", "pss", "pmin", "pmax")}
-            prod_chunks: dict[str, list[bytes]] = {p: [] for p in PRODUCTS}
-            prod_lens: dict[str, list[int]] = {p: [] for p in PRODUCTS}
+            prod_chunks: dict[str, list[bytes]] = {p: [] for p in ALL_PRODUCTS}
+            prod_lens: dict[str, list[int]] = {p: [] for p in ALL_PRODUCTS}
 
             for i in range(n_img):
                 w, h = int(ws[i]), int(hs[i])
@@ -310,9 +323,13 @@ def decode_focal_arrow(
                 if compute_psnr:
                     rt = codecs.decode(codecs.encode(grid, fmts[i]), fmts[i], w, h)
                     p = codecs.psnr(grid, rt)
-                if want:
+                prod: dict[str, np.ndarray] = {}
+                if want_horn:
                     s, a, hsd = horn_products(grid, float(css[i]))
-                    prod = {"slope": s, "aspect": a, "hillshade": hsd}
+                    prod.update(slope=s, aspect=a, hillshade=hsd)
+                if want_terr:
+                    tri, tpi, rough = terrain_products(grid)
+                    prod.update(tri=tri, tpi=tpi, roughness=rough)
                 n_tiles = (h + tile_rows - 1) // tile_rows
                 for t in range(n_tiles):
                     ty0 = t * tile_rows
@@ -338,7 +355,7 @@ def decode_focal_arrow(
                     o["pss"].append(float((valid * valid).sum()) if valid.size else 0.0)
                     o["pmin"].append(float(valid.min()) if valid.size else None)
                     o["pmax"].append(float(valid.max()) if valid.size else None)
-                    for pname in PRODUCTS:
+                    for pname in ALL_PRODUCTS:
                         if pname in want:
                             b = np.ascontiguousarray(prod[pname][sl], dtype="<f4").tobytes()
                             prod_chunks[pname].append(b)
@@ -362,9 +379,8 @@ def decode_focal_arrow(
                 pa.array(o["caption"], pa.string()),
                 pa.array(np.asarray(o["phash"], np.int64)),
                 pa.array(np.asarray(o["psnr"], np.float64)),
-                bin_array(prod_chunks["slope"], np.asarray(prod_lens["slope"], np.int64)),
-                bin_array(prod_chunks["aspect"], np.asarray(prod_lens["aspect"], np.int64)),
-                bin_array(prod_chunks["hillshade"], np.asarray(prod_lens["hillshade"], np.int64)),
+                *[bin_array(prod_chunks[p], np.asarray(prod_lens[p], np.int64))
+                  for p in ALL_PRODUCTS],
                 pa.array(np.asarray(o["pn"], np.int64)),
                 pa.array(np.asarray(o["ps"], np.float64)),
                 pa.array(np.asarray(o["pss"], np.float64)),
@@ -372,20 +388,13 @@ def decode_focal_arrow(
                 pa.array(o["pmax"], pa.float64()),
             ]
             names = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-                     "x0", "y0", "crs", "caption", "phash", "psnr", "slope",
-                     "aspect", "hillshade", "pn", "ps", "pss", "pmin", "pmax"]
+                     "x0", "y0", "crs", "caption", "phash", "psnr",
+                     *ALL_PRODUCTS, "pn", "ps", "pss", "pmin", "pmax"]
             yield pa.RecordBatch.from_arrays(arrays, names=names)
 
     cols = ["image_id", "bytes", "w", "h", "fmt", "caption", "phash",
             "cellsize", "x0", "y0", "crs"]
-    schema = (
-        "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-        "cellsize double, x0 double, y0 double, crs string, caption string, "
-        "phash long, psnr double, slope binary, aspect binary, "
-        "hillshade binary, pn bigint, ps double, pss double, "
-        "pmin double, pmax double"
-    )
-    return images.select(*cols).mapInArrow(gen, schema=schema)
+    return images.select(*cols).mapInArrow(gen, schema=FUSED_SCHEMA_BIN)
 
 
 def px_f32(buf) -> np.ndarray:

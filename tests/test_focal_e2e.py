@@ -121,6 +121,64 @@ def test_terrain_halo_exchange_equals_fused(spark, images_df):
                 np.asarray(a[k][p], np.float32), np.asarray(b[k][p], np.float32))
 
 
+def test_fused_terrain_equals_composed(spark, images_df):
+    """decode_focal / decode_focal_arrow with terrain products must be
+    bit-identical to the composable decode_tiles -> terrain_tiles path;
+    unrequested products come back null/empty."""
+    from pycuda_raster_spark.operators.focal import (
+        decode_focal,
+        decode_focal_arrow,
+        terrain_tiles,
+    )
+
+    composed = {(r.image_id, r.ty0): r
+                for r in terrain_tiles(decode_tiles(images_df, tile_rows=16)).collect()}
+    fused = decode_focal(images_df, tile_rows=16,
+                         products=("tri", "tpi", "roughness"),
+                         as_binary=False).collect()
+    assert len(fused) == len(composed)
+    for r in fused:
+        c = composed[(r.image_id, r.ty0)]
+        assert r.slope is None
+        for p in ("tri", "tpi", "roughness"):
+            np.testing.assert_array_equal(
+                np.asarray(r[p], np.float32), np.asarray(c[p], np.float32),
+                err_msg=f"{r.image_id}/{p}")
+    arrow = decode_focal_arrow(images_df, tile_rows=16, products=("tri",)).collect()
+    for r in arrow[:6]:
+        c = composed[(r.image_id, r.ty0)]
+        np.testing.assert_array_equal(
+            np.frombuffer(bytes(r.tri), "<f4"), np.asarray(c.tri, np.float32))
+        assert bytes(r.slope) == b"" and bytes(r.tpi) == b""
+
+
+def test_cli_multi_output_fanout_with_terrain(spark, images_df, tmp_path):
+    """EP1 CLI surface (the reference's scheduler shape, [ref?:
+    scheduler.py (output, func) pairs]): one input pass, several
+    (OUT, FUNC) pairs, now including the gdaldem terrain products."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.operators.focal import px_f32
+
+    src = tmp_path / "images"
+    images_df.write.parquet(str(src))
+    argv = [str(src)]
+    for func in ("slope", "tri", "roughness"):
+        argv += [str(tmp_path / func), func]
+    assert main(argv + ["--tile-rows=16"]) == 0
+
+    from pycuda_raster_spark.functions.codecs import decode
+
+    img = images_df.first()
+    g = decode(bytes(img.bytes), img.fmt, img.w, img.h)
+    o = oracle_whole_grid(g, 1.0)
+    for func in ("slope", "tri", "roughness"):
+        rows = [r for r in spark.read.parquet(str(tmp_path / func)).collect()
+                if r.image_id == img.image_id]
+        rows.sort(key=lambda r: r.ty0)
+        got = np.vstack([px_f32(r[func]).reshape(r.th, r.w) for r in rows])
+        np.testing.assert_array_equal(got, o[func], err_msg=func)
+
+
 def test_halo_exchange_equals_fused(spark, images_df):
     fused = decode_tiles(images_df, tile_rows=16)
     exchanged = halo_exchange(strip_halos(fused))
