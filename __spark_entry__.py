@@ -553,6 +553,24 @@ def _r_focal_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multidirectional hillshade (gdaldem -multidirectional: azimuths
+    225/270/315/360 weighted by sin^2(aspect - az), /2, per-direction
+    clamp at 0). Output is rint'd integers in [0, 255] like the
+    single-azimuth product, so the per-tile sum is EXACT in any order."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import hillshade_md_tiles
+
+    images, _, _ = _corpus(spark)
+    out = hillshade_md_tiles(decode_tiles(images, tile_rows=8))
+    valid = F.filter("hillshade_md", lambda v: v != F.lit(-9999.0))
+    return out.select(
+        "image_id", "tile_y",
+        F.size(valid).cast("long").alias("n_valid"),
+        F.aggregate(valid, F.lit(0.0), lambda a, v: a + v.cast("double")).alias("hsmd_sum"),
+    )
+
+
 def _r_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.spatial import pip_join
 
@@ -946,6 +964,45 @@ def _corpus_oracles() -> dict[str, str]:
         FROM hs GROUP BY image_id, r // 8
     """
 
+    # multidirectional hillshade: same transcendental-absorb strategy as
+    # the single-azimuth product (rint'd integers sum exactly); the four
+    # azimuth terms accumulate left-associatively, per-direction shading
+    # clamped at 0 before weighting — mirroring the NumPy kernel verbatim
+    md_slope_rad = "atan(sqrt(dzdx * dzdx + dzdy * dzdy))"
+    md_raw = "fmod(90.0 - degrees(atan2(dzdy, -dzdx)), 360.0)"
+    md_asp = (
+        f"CASE WHEN dzdx = 0.0 AND dzdy = 0.0 THEN 0.0 "
+        f"WHEN {md_raw} < 0 THEN {md_raw} + 360.0 ELSE {md_raw} END"
+    )
+
+    def _md_term(az: float) -> str:
+        hs_az = (
+            f"(cos(radians(45.0)) * cos(sr) + "
+            f"sin(radians(45.0)) * sin(sr) * cos(radians({az}) - ar))"
+        )
+        return (f"(sin(ar - radians({az})) * sin(ar - radians({az}))) "
+                f"* greatest({hs_az}, 0.0)")
+
+    md_num = " + ".join(_md_term(az) for az in (225.0, 270.0, 315.0, 360.0))
+    hillshade_md = f"""
+        WITH {horn_win},
+        ang AS (
+            SELECT image_id, r, c, {md_slope_rad} AS sr,
+                   radians({md_asp}) AS ar
+            FROM grad
+        ),
+        hsmd AS (
+            SELECT image_id, r, c,
+                   CAST(round(greatest(least(255.0 * (({md_num}) / 2.0),
+                                             255.0), 0.0), 0) AS FLOAT) AS s
+            FROM ang
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_valid,
+               CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) AS hsmd_sum
+        FROM hsmd GROUP BY image_id, r // 8
+    """
+
     # TRI/TPI/roughness: plain +,-,*,/,sqrt and exact greatest/least over
     # the same 8-neighbor window -> identical doubles with the engine's
     # left-associative operand order, folded after the float32 cast
@@ -1198,6 +1255,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_focal_aspect": aspect,
         "r_focal_hillshade": hillshade,
         "r_focal_terrain": terrain,
+        "r_hillshade_md": hillshade_md,
         "r_pip_join": pip,
         "r_knn_join": knn,
         "r_knn_tiles": knn_tiles,
@@ -1270,6 +1328,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_aspect": _r_focal_aspect,
             "r_focal_hillshade": _r_focal_hillshade,
             "r_focal_terrain": _r_focal_terrain,
+            "r_hillshade_md": _r_hillshade_md,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
             "r_knn_tiles": _r_knn_tiles,

@@ -107,6 +107,61 @@ def horn_products(
     return slope, aspect, hillshade
 
 
+MD_AZIMUTHS_DEG = (225.0, 270.0, 315.0, 360.0)
+
+
+def hillshade_md(
+    grid: np.ndarray,
+    cellsize: float,
+    halo_top: np.ndarray | None = None,
+    halo_bot: np.ndarray | None = None,
+    altitude_deg: float = DEFAULT_ALTITUDE_DEG,
+) -> np.ndarray:
+    """Multidirectional hillshade (gdaldem ``-multidirectional``, after
+    Mark 1992 / USGS): four azimuths 225/270/315/360 combined with weights
+    ``sin^2(aspect - azimuth)`` (which sum to 2 for 45-degree-spaced
+    azimuths, hence the /2), each direction's raw shading clamped at 0
+    (no negative light) before weighting. Output rint'd to [0, 255]
+    integers like the single-azimuth product — which keeps the DuckDB
+    oracle exact (integer-valued floats sum exactly in any order). Same
+    NODATA/edge policy as ``horn_products``; float32 output."""
+    g = _padded(np.asarray(grid, dtype=np.float64), halo_top, halo_bot)
+    nd = g == NODATA
+
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d = g[1:-1, :-2]
+    f = g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+
+    bad = (
+        nd[:-2, :-2] | nd[:-2, 1:-1] | nd[:-2, 2:]
+        | nd[1:-1, :-2] | nd[1:-1, 1:-1] | nd[1:-1, 2:]
+        | nd[2:, :-2] | nd[2:, 1:-1] | nd[2:, 2:]
+    )
+
+    dzdx = ((c + 2.0 * f + ii) - (a + 2.0 * d + gg)) / (8.0 * cellsize)
+    dzdy = ((gg + 2.0 * hh + ii) - (a + 2.0 * b + c)) / (8.0 * cellsize)
+
+    slope_rad = np.arctan(np.sqrt(dzdx * dzdx + dzdy * dzdy))
+    flat = (dzdx == 0.0) & (dzdy == 0.0)
+    asp_math = np.degrees(np.arctan2(dzdy, -dzdx))
+    aspect = np.mod(90.0 - asp_math, 360.0)
+    asp_rad = np.radians(np.where(flat, 0.0, aspect))
+
+    zen = np.radians(90.0 - altitude_deg)
+    num = 0.0
+    for az_deg in MD_AZIMUTHS_DEG:
+        az = np.radians(az_deg)
+        s = np.sin(asp_rad - az)
+        w = s * s
+        hs_az = (np.cos(zen) * np.cos(slope_rad)
+                 + np.sin(zen) * np.sin(slope_rad) * np.cos(az - asp_rad))
+        num = num + w * np.maximum(hs_az, 0.0)
+    hs = 255.0 * (num / 2.0)
+    out = np.rint(np.clip(hs, 0.0, 255.0))
+    return np.where(bad, NODATA, out).astype(np.float32)
+
+
 def terrain_products(
     grid: np.ndarray,
     halo_top: np.ndarray | None = None,
@@ -162,4 +217,5 @@ def oracle_whole_grid(grid: np.ndarray, cellsize: float) -> dict[str, np.ndarray
     s, a, h = horn_products(grid, cellsize)
     tri, tpi, rough = terrain_products(grid)
     return {"slope": s, "aspect": a, "hillshade": h,
-            "tri": tri, "tpi": tpi, "roughness": rough}
+            "tri": tri, "tpi": tpi, "roughness": rough,
+            "hillshade_md": hillshade_md(grid, cellsize)}

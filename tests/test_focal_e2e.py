@@ -121,6 +121,33 @@ def test_terrain_halo_exchange_equals_fused(spark, images_df):
                 np.asarray(a[k][p], np.float32), np.asarray(b[k][p], np.float32))
 
 
+@pytest.mark.parametrize("tile_rows", [8, 13, 40])
+def test_hillshade_md_tiling_matches_oracle(spark, images_df, tile_rows):
+    """Multidirectional hillshade: tiled == whole-grid oracle bit-for-bit
+    at every tile height; flat cells, NODATA dilation and [0,255] rint
+    all ride through the seams."""
+    from pycuda_raster_spark.functions.codecs import decode
+    from pycuda_raster_spark.operators.focal import hillshade_md_tiles
+
+    tiles = decode_tiles(images_df, tile_rows=tile_rows)
+    rows = hillshade_md_tiles(tiles).select(
+        "image_id", "ty0", "th", "w", "hillshade_md").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, []).append(r)
+    for row in images_df.select("image_id", "bytes", "fmt", "w", "h").collect():
+        g = decode(bytes(row.bytes), row.fmt, row.w, row.h)
+        want = oracle_whole_grid(g, 1.0)["hillshade_md"]
+        ts = sorted(per[row.image_id], key=lambda r: r.ty0)
+        got = np.vstack(
+            [np.asarray(t.hillshade_md, np.float32).reshape(t.th, t.w) for t in ts])
+        np.testing.assert_array_equal(
+            got, want, err_msg=f"{row.image_id} tile_rows={tile_rows}")
+        valid = got[got != -9999.0]
+        assert valid.min() >= 0.0 and valid.max() <= 255.0
+        assert np.all(valid == np.rint(valid))  # integer-valued by design
+
+
 def test_fused_terrain_equals_composed(spark, images_df):
     """decode_focal / decode_focal_arrow with terrain products must be
     bit-identical to the composable decode_tiles -> terrain_tiles path;
