@@ -571,6 +571,23 @@ def _r_hillshade_md(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_color_relief(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """gdaldem color-relief as pure JVM Column expressions (piecewise-
+    linear ramp -> packed 24-bit RGB; no Python in the plan, gate-
+    asserted). Packed ints sum exactly, so the per-tile aggregate is
+    order-independent and the DuckDB replay is value-exact."""
+    from pycuda_raster_spark.operators.color import color_relief
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    out = color_relief(decode_tiles(images, tile_rows=8))
+    return out.select(
+        "image_id", "tile_y",
+        F.size("rgb").cast("long").alias("n_px"),
+        F.aggregate("rgb", F.lit(0).cast("long"), lambda a, v: a + v).alias("rgb_sum"),
+    )
+
+
 def _r_pip_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pycuda_raster_spark.operators.spatial import pip_join
 
@@ -1003,6 +1020,42 @@ def _corpus_oracles() -> dict[str, str]:
         FROM hsmd GROUP BY image_id, r // 8
     """
 
+    # color-relief: the engine's CASE chain replayed literally (every
+    # numeric literal CAST to DOUBLE — bare decimals parse as DECIMAL in
+    # DuckDB); packed ints sum exactly
+    from pycuda_raster_spark.operators.color import DEFAULT_RAMP
+
+    def _ramp_chan_sql(idx: int) -> str:
+        es = [p[0] for p in DEFAULT_RAMP]
+        cs = [float(p[idx]) for p in DEFAULT_RAMP]
+        parts = [f"WHEN v <= CAST({es[0]} AS DOUBLE) THEN CAST({cs[0]} AS DOUBLE)"]
+        for i in range(len(es) - 1):
+            parts.append(
+                f"WHEN v < CAST({es[i + 1]} AS DOUBLE) THEN "
+                f"CAST({cs[i]} AS DOUBLE) + (v - CAST({es[i]} AS DOUBLE)) "
+                f"/ CAST({es[i + 1] - es[i]} AS DOUBLE) "
+                f"* CAST({cs[i + 1] - cs[i]} AS DOUBLE)")
+        return "CASE " + " ".join(parts) + f" ELSE CAST({cs[-1]} AS DOUBLE) END"
+
+    color = f"""
+        WITH v AS (
+            SELECT image_id, r, c, CAST(val AS DOUBLE) AS v FROM {pixels}
+        ),
+        rgb AS (
+            SELECT image_id, r, c,
+                   CASE WHEN v = CAST(-9999 AS DOUBLE) THEN CAST(0 AS BIGINT)
+                        ELSE CAST(round({_ramp_chan_sql(1)}, 0) * CAST(65536 AS DOUBLE)
+                                  + round({_ramp_chan_sql(2)}, 0) * CAST(256 AS DOUBLE)
+                                  + round({_ramp_chan_sql(3)}, 0) AS BIGINT)
+                   END AS rgb
+            FROM v
+        )
+        SELECT image_id, CAST(r // 8 AS INT) AS tile_y,
+               CAST(count(*) AS BIGINT) AS n_px,
+               CAST(SUM(rgb) AS BIGINT) AS rgb_sum
+        FROM rgb GROUP BY image_id, r // 8
+    """
+
     # TRI/TPI/roughness: plain +,-,*,/,sqrt and exact greatest/least over
     # the same 8-neighbor window -> identical doubles with the engine's
     # left-associative operand order, folded after the float32 cast
@@ -1256,6 +1309,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_focal_hillshade": hillshade,
         "r_focal_terrain": terrain,
         "r_hillshade_md": hillshade_md,
+        "r_color_relief": color,
         "r_pip_join": pip,
         "r_knn_join": knn,
         "r_knn_tiles": knn_tiles,
@@ -1329,6 +1383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_hillshade": _r_focal_hillshade,
             "r_focal_terrain": _r_focal_terrain,
             "r_hillshade_md": _r_hillshade_md,
+            "r_color_relief": _r_color_relief,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,
             "r_knn_tiles": _r_knn_tiles,
