@@ -9,9 +9,16 @@ engine keeps that exact shape:
 
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
-hillshade, tri, tpi, roughness} (the gdaldem product set). Each OUT
-receives a parquet tile table for its product (one input pass computes
-all requested products — the reference's multi-output fan-out).
+hillshade, tri, tpi, roughness} (the gdaldem product set), plus "dem"
+(the elevation itself — useful with --resample). Each OUT receives a
+parquet tile table for its product (one input pass computes all
+requested products — the reference's multi-output fan-out).
+
+--resample=HxW (gdal_translate -outsize + gdaldem in one run): resample
+every DEM to H rows x W cols first (--resample-method=nearest|bilinear,
+default bilinear), then compute the products on the resampled grid via
+the halo-exchange path. Product tiles are written as array<float> in
+this mode (the default fused mode writes packed f32 binary blobs).
 """
 
 from __future__ import annotations
@@ -29,9 +36,11 @@ def main(argv: list[str]) -> int:
     products = tuple(func for _, func in pairs)
     from .operators.focal import ALL_PRODUCTS, decode_focal_arrow as decode_focal
 
-    bad = set(products) - set(ALL_PRODUCTS)
+    resample = opts.get("resample")
+    allowed = ALL_PRODUCTS + (("dem",) if resample else ())
+    bad = set(products) - set(allowed)
     if bad:
-        print(f"unknown products: {sorted(bad)}; available: {ALL_PRODUCTS}")
+        print(f"unknown products: {sorted(bad)}; available: {allowed}")
         return 2
 
     from .session import get_spark
@@ -48,6 +57,11 @@ def main(argv: list[str]) -> int:
         images = spark.read.parquet(inp)
 
     tile_rows = int(opts.get("tile-rows", 64))
+    if resample:
+        out_h, out_w = (int(x) for x in resample.lower().split("x"))
+        _run_resampled(spark, images, pairs, products, tile_rows, out_h,
+                       out_w, opts.get("resample-method", "bilinear"))
+        return 0
     fused = decode_focal(images, tile_rows=tile_rows, products=products,
                          partitions=spark.sparkContext.defaultParallelism * 2)
     keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
@@ -58,6 +72,45 @@ def main(argv: list[str]) -> int:
         print(f"wrote {func} tiles -> {out}")
     fused.unpersist()
     return 0
+
+
+def _run_resampled(spark, images, pairs, products, tile_rows, out_h, out_w,
+                   method):
+    """decode -> resample -> halo exchange -> products (the composable
+    path; products on the RESAMPLED grid, like gdal_translate | gdaldem)."""
+    from pyspark.sql import functions as F
+
+    from .operators.decode import decode_tiles
+    from .operators.focal import (
+        PRODUCTS,
+        TERRAIN_PRODUCTS,
+        focal_products,
+        terrain_tiles,
+    )
+    from .operators.resample import resample_tiles
+    from .operators.tiling import halo_exchange
+
+    tiles = resample_tiles(
+        decode_tiles(images, tile_rows=tile_rows), out_h, out_w,
+        method=method, out_tile_rows=tile_rows,
+    ).withColumn("caption", F.lit(None).cast("string")) \
+     .withColumn("psnr", F.lit(float("inf")))
+    tiles = halo_exchange(tiles).cache()
+    keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
+            "y0", "crs"]
+    horn_want = tuple(p for p in set(products) & set(PRODUCTS))
+    terr_want = tuple(p for p in set(products) & set(TERRAIN_PRODUCTS))
+    horn = focal_products(tiles, products=horn_want).cache() if horn_want else None
+    terr = terrain_tiles(tiles, products=terr_want).cache() if terr_want else None
+    for out, func in pairs:
+        src = tiles if func == "dem" else (horn if func in PRODUCTS else terr)
+        col = "px" if func == "dem" else func
+        src.select(*keep, F.col(col).alias(func)).write.mode(
+            "overwrite").parquet(out)
+        print(f"wrote {func} tiles ({out_h}x{out_w} {method}) -> {out}")
+    for df in (tiles, horn, terr):
+        if df is not None:
+            df.unpersist()
 
 
 if __name__ == "__main__":

@@ -206,6 +206,38 @@ def test_cli_multi_output_fanout_with_terrain(spark, images_df, tmp_path):
         np.testing.assert_array_equal(got, o[func], err_msg=func)
 
 
+def test_cli_resample_then_products(spark, images_df, tmp_path):
+    """--resample=HxW: dem + slope computed on the RESAMPLED grid (the
+    gdal_translate -outsize | gdaldem composition) match the NumPy
+    resample->Horn oracle chain, including the rescaled cellsize."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.functions.codecs import decode
+    from pycuda_raster_spark.functions.focal_kernels import horn_products
+    from pycuda_raster_spark.operators.resample import resample_grid
+
+    src = tmp_path / "images"
+    images_df.write.parquet(str(src))
+    argv = [str(src), str(tmp_path / "dem"), "dem",
+            str(tmp_path / "slope"), "slope",
+            "--resample=20x24", "--resample-method=bilinear",
+            "--tile-rows=8"]
+    assert main(argv) == 0
+
+    img = images_df.first()
+    g = resample_grid(decode(bytes(img.bytes), img.fmt, img.w, img.h), 20, 24,
+                      method="bilinear")
+    want_slope, _, _ = horn_products(g, 1.0 * img.h / 20)
+
+    for func, want in (("dem", g), ("slope", want_slope)):
+        rows = [r for r in spark.read.parquet(str(tmp_path / func)).collect()
+                if r.image_id == img.image_id]
+        rows.sort(key=lambda r: r.ty0)
+        assert rows[0].cellsize == 1.0 * img.h / 20
+        got = np.vstack([np.asarray(r[func], np.float32).reshape(r.th, r.w)
+                         for r in rows])
+        np.testing.assert_array_equal(got, want, err_msg=func)
+
+
 def test_halo_exchange_equals_fused(spark, images_df):
     fused = decode_tiles(images_df, tile_rows=16)
     exchanged = halo_exchange(strip_halos(fused))
