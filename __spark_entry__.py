@@ -392,6 +392,22 @@ def _q_ngram_pairs_lsh_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER assignment (the survivor-selection step after
+    pair generation): connected components over the exhaustive minhash
+    pair graph via min-label propagation + pointer jumping (O(log
+    diameter) rounds). cluster_id = min member id; singletons size 1."""
+    from pycuda_raster_spark.operators.dedup import (
+        dedup_clusters,
+        minhash_lsh_pairs,
+    )
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    pairs = minhash_lsh_pairs(docs, jaccard_threshold=0.5, mode="exhaustive")
+    return dedup_clusters(pairs, docs)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only; determinism covered by tests)."""
     from pycuda_raster_spark.operators.dedup import simhash64
@@ -1220,7 +1236,7 @@ def _corpus_oracles() -> dict[str, str]:
         GROUP BY i.image_id, i.fmt
     """
 
-    minhash = _jaccard_pairs_sql(f"""
+    minhash_sh = f"""
         t AS (SELECT doc_id,
                      regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
               FROM documents),
@@ -1231,7 +1247,38 @@ def _corpus_oracles() -> dict[str, str]:
                                 i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))
                            ELSE [array_to_string(toks, ' ')] END AS s
                FROM t)
-    """, 0.5)
+    """
+    minhash = _jaccard_pairs_sql(minhash_sh, 0.5)
+
+    # near-dup cluster assignment: the same exhaustive pair set, then
+    # connected components — DuckDB replays the engine's O(log d)
+    # label-propagation fixpoint as a recursive reachability closure
+    # (min reachable id == min component id; both deterministic)
+    cc_inter = "len(list_intersect(a.s, b.s))"
+    cc_union = f"(len(a.s) + len(b.s) - {cc_inter})"
+    clusters = f"""
+        WITH RECURSIVE {minhash_sh},
+        pairs AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sh a, sh b
+            WHERE a.doc_id < b.doc_id AND {cc_inter} / {cc_union} >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
+        ),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)
+        SELECT id AS doc_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cc
+    """
 
     ngram = _jaccard_pairs_sql(f"""
         t AS (SELECT doc_id,
@@ -1320,6 +1367,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_resample_bilinear": resample_b,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
+        "q_dedup_clusters": clusters,
         "q_ngram_pairs": ngram,
         # the dual-banding scale paths reproduce the exhaustive answer
         # exactly on the contract corpus (unions of independent bandings;
@@ -1373,6 +1421,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_ann_topk_join": _q_ann_topk_join,
             # oracled via the materialized corpus / exhaustive modes
             "q_minhash_pairs": _q_minhash_pairs,
+            "q_dedup_clusters": _q_dedup_clusters,
             "q_ngram_pairs": _q_ngram_pairs,
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,

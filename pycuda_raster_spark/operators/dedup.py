@@ -303,3 +303,63 @@ def simhash64(df: DataFrame, text_col: str = "text", out_col: str = "simhash") -
     toks = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
     tok_hashes = F.transform(toks, lambda t: F.xxhash64(t))
     return df.withColumn(out_col, _fold(tok_hashes))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    corpus: DataFrame,
+    id_col: str = "doc_id",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph -> per-document
+    cluster assignment ``(id_col, cluster_id, cluster_size)`` with
+    ``cluster_id`` = min member id (the survivor a dedup pipeline keeps;
+    singletons are their own cluster of size 1).
+
+    Min-label propagation with POINTER JUMPING: each round (a) every node
+    takes the min label among itself and its neighbors (one shuffle join +
+    partial-agg groupBy), then (b) every label chases its own label's
+    label (path halving) — so convergence is O(log diameter) rounds, not
+    O(diameter); a long chain of near-dups cannot stall the loop at
+    corpus scale. One cheap driver-side action per round checks
+    convergence (the standard CC-on-Spark shape — the iteration COUNT
+    lives on the driver, the data never does). Compose with the banded
+    LSH pair generators for the production path; the exhaustive pair mode
+    is the oracle configuration.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))).cache()
+    labels = (corpus.select(F.col(id_col).alias("id")).distinct()
+              .withColumn("label", F.col("id")).cache())
+    labels.count()
+    for _ in range(max_iterations):
+        nbr = (
+            edges.join(labels.select(F.col("id").alias("dst"),
+                                     F.col("label").alias("dl")), "dst")
+            .groupBy("src").agg(F.min("dl").alias("nl"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id", F.least("label", F.coalesce("nl", "label")).alias("label"))
+        # pointer jumping: label <- label(label); label ids are node ids,
+        # so the self-join always resolves
+        parent = stepped.select(F.col("id").alias("label"),
+                                F.col("label").alias("plabel"))
+        nxt = stepped.join(parent, "label").select(
+            "id", F.col("plabel").alias("label")).cache()
+        changed = (nxt.join(labels.withColumnRenamed("label", "old"), "id")
+                   .filter(F.col("label") != F.col("old")).count())
+        labels.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_iterations} rounds")
+    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    out = labels.join(sizes, "label").select(
+        F.col("id").alias(id_col), F.col("label").alias("cluster_id"),
+        "cluster_size")
+    edges.unpersist()
+    return out

@@ -149,3 +149,33 @@ def test_simhash_deterministic_and_similarity_ordered(spark):
         return bin((a ^ b) & (2**64 - 1)).count("1")
 
     assert ham(out[0], out[1]) < ham(out[0], out[2])
+
+
+def test_dedup_clusters_matches_union_find(spark):
+    """Connected components (chain, triangle-with-tail, singletons) must
+    match a brute-force union-find; pointer jumping keeps rounds low even
+    for the 8-node chain."""
+    from pycuda_raster_spark.operators.dedup import dedup_clusters
+
+    ids = list(range(20))
+    edges = [(0, 1), (1, 2), (2, 3), (3, 4), (4, 5), (5, 6), (6, 7),  # chain
+             (10, 11), (11, 12), (10, 12), (12, 13),                  # tri+tail
+             (15, 16)]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want_label = {i: min(j for j in ids if find(j) == find(i)) for i in ids}
+    want_size = {i: sum(1 for j in ids if find(j) == find(i)) for i in ids}
+
+    corpus = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    got = {r.doc_id: (r.cluster_id, r.cluster_size)
+           for r in dedup_clusters(pairs, corpus).collect()}
+    assert got == {i: (want_label[i], want_size[i]) for i in ids}
