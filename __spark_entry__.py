@@ -408,6 +408,20 @@ def _q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_clusters(pairs, docs)
 
 
+def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget shard packing (LLM sequence-packing step): global
+    prefix sum of whitespace token counts in doc_id order, computed with
+    the scalable two-phase scan (range partition -> per-partition totals
+    -> offset + local cumsum), bit-identical to the oracle's single
+    global window for any partitioning."""
+    from pycuda_raster_spark.operators.pack import pack_shards
+    from pycuda_raster_spark.operators.text import with_token_count
+
+    _register(spark, sf_dir)
+    docs = with_token_count(spark.table("documents")).select("doc_id", "n_tokens")
+    return pack_shards(docs, budget=4096)
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only; determinism covered by tests)."""
     from pycuda_raster_spark.operators.dedup import simhash64
@@ -1368,6 +1382,22 @@ def _corpus_oracles() -> dict[str, str]:
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
+        # shard packing: the global-window definition the two-phase scan
+        # must reproduce exactly (integer token weights)
+        "q_pack_shards": """
+            WITH t AS (
+                SELECT doc_id,
+                       CAST(len(regexp_split_to_array(lower(trim(text)), '\\s+'))
+                            AS BIGINT) AS n_tokens
+                FROM documents
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(coalesce(SUM(n_tokens) OVER (
+                            ORDER BY doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                        0) // 4096 AS BIGINT) AS shard_id
+            FROM t
+        """,
         "q_ngram_pairs": ngram,
         # the dual-banding scale paths reproduce the exhaustive answer
         # exactly on the contract corpus (unions of independent bandings;
@@ -1422,6 +1452,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # oracled via the materialized corpus / exhaustive modes
             "q_minhash_pairs": _q_minhash_pairs,
             "q_dedup_clusters": _q_dedup_clusters,
+            "q_pack_shards": _q_pack_shards,
             "q_ngram_pairs": _q_ngram_pairs,
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,

@@ -1,0 +1,87 @@
+"""Token-budget shard packing — the sequence-packing step of an LLM
+training-data pipeline: assign documents, in a deterministic global order,
+to consecutive shards of at most ``budget`` tokens (a document that
+crosses a boundary belongs to the shard where its first token lands).
+
+Semantics (shared verbatim by the DuckDB oracle):
+``shard_id = (sum of weights of all docs BEFORE this one in id order)
+// budget`` — a global prefix sum, which is the textbook sequential
+operation that must NOT be computed with a single global window at scale
+(one 100 TB partition through one task). The distributed shape here is
+the standard two-phase scan:
+
+1. range-partition by id + sort within partitions (contiguous id ranges
+   per partition, so partition-local order IS global order);
+2. one tiny job collects per-partition weight totals (ONE row per
+   partition — driver-safe at any scale) and prefix-sums them into
+   per-partition offsets;
+3. a batched Arrow stage adds offset + partition-local running sum; the
+   slim (id, weight) projection is persisted across the two passes so
+   both see the same partitioning.
+
+Integer weights make the two-phase result bit-identical to the global
+window definition for ANY partition boundaries.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+def pack_shards(
+    df: DataFrame,
+    budget: int,
+    id_col: str = "doc_id",
+    weight_col: str = "n_tokens",
+    partitions: int | None = None,
+) -> DataFrame:
+    """-> (id_col, n_tokens, shard_id); see module docstring for the
+    two-phase prefix-sum shape. ``df`` needs an orderable unique id and an
+    integer weight column."""
+    if budget < 1:
+        raise ValueError("budget must be >= 1")
+    spark = df.sparkSession
+    n_part = partitions or spark.sparkContext.defaultParallelism
+    slim = (
+        df.select(F.col(id_col).alias("id"),
+                  F.col(weight_col).cast("long").alias("w"))
+        .repartitionByRange(n_part, F.col("id"))
+        .sortWithinPartitions("id")
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    # one row per partition -> driver; prefix-sum into start offsets
+    partials = {r["__pid"]: r["total"] for r in
+                slim.groupBy("__pid").agg(F.sum("w").alias("total")).collect()}
+    offsets = {}
+    running = 0
+    for pid in sorted(partials):
+        offsets[pid] = running
+        running += int(partials[pid])
+    b_off = spark.sparkContext.broadcast(offsets)
+
+    id_field = slim.schema["id"].dataType.simpleString()
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        local = None
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            if local is None:
+                local = int(b_off.value.get(int(pdf["__pid"].iat[0]), 0))
+            w = pdf["w"].to_numpy(dtype=np.int64)
+            before = local + np.cumsum(w) - w
+            local += int(w.sum())
+            yield pd.DataFrame({
+                "id": pdf["id"],
+                "n_tokens": w,
+                "shard_id": before // budget,
+            })
+
+    out = slim.mapInPandas(
+        gen, schema=f"id {id_field}, n_tokens long, shard_id long")
+    return out.withColumnRenamed("id", id_col)
