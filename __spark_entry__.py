@@ -422,6 +422,20 @@ def _q_pack_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_shards(docs, budget=4096)
 
 
+def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/eval 13-gram contamination check (GPT-3-style
+    decontamination): train = doc_id % 5 != 0, eval = the rest; output
+    contaminated train docs + distinct shared-gram counts."""
+    from pycuda_raster_spark.operators.dedup import contamination_check
+
+    _register(spark, sf_dir)
+    docs = spark.table("documents")
+    return contamination_check(
+        docs.filter(F.col("doc_id") % 5 != 0),
+        docs.filter(F.col("doc_id") % 5 == 0),
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only; determinism covered by tests)."""
     from pycuda_raster_spark.operators.dedup import simhash64
@@ -1382,6 +1396,25 @@ def _corpus_oracles() -> dict[str, str]:
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
+        # contamination: the engine's gram construction replayed with
+        # 1-based inclusive list slicing; whole-doc fallback under n tokens
+        "q_contamination": """
+            WITH t AS (SELECT doc_id,
+                              regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                       FROM documents),
+            sh AS (SELECT doc_id,
+                          CASE WHEN len(toks) >= 13
+                               THEN list_distinct(list_transform(
+                                    generate_series(1, len(toks) - 12),
+                                    i -> array_to_string(toks[i:i+12], ' ')))
+                               ELSE [array_to_string(toks, ' ')] END AS s
+                   FROM t),
+            tr AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id % 5 <> 0),
+            ev AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id % 5 = 0)
+            SELECT tr.doc_id, CAST(count(DISTINCT tr.g) AS BIGINT) AS n_shared
+            FROM tr JOIN ev USING (g)
+            GROUP BY tr.doc_id
+        """,
         # shard packing: the global-window definition the two-phase scan
         # must reproduce exactly (integer token weights)
         "q_pack_shards": """
@@ -1453,6 +1486,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_minhash_pairs": _q_minhash_pairs,
             "q_dedup_clusters": _q_dedup_clusters,
             "q_pack_shards": _q_pack_shards,
+            "q_contamination": _q_contamination,
             "q_ngram_pairs": _q_ngram_pairs,
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,

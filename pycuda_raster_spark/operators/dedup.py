@@ -363,3 +363,33 @@ def dedup_clusters(
         "cluster_size")
     edges.unpersist()
     return out
+
+
+def contamination_check(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Train/eval n-gram contamination (the GPT-3-style 13-gram rule):
+    flag training documents sharing ANY word-n-gram with the eval set ->
+    (doc_id, n_shared) with n_shared = count of DISTINCT shared grams
+    (documents shorter than n tokens contribute their whole text as one
+    gram). Gram construction is JVM-side higher-order functions; the eval
+    side is the small one by design -> distinct + broadcast equi-join, so
+    the train corpus is scanned once with no shuffle of train grams. At
+    production scale, pre-hash grams to 64-bit keys to slim the broadcast
+    (string equality kept here so the DuckDB oracle replays the join
+    verbatim)."""
+    tg = train.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(_shingles(F.col(text_col), n)).alias("g"),
+    )
+    eg = eval_df.select(
+        F.explode(_shingles(F.col(text_col), n)).alias("g")).distinct()
+    return (
+        tg.join(F.broadcast(eg), "g")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("g").alias("n_shared"))
+    )

@@ -179,3 +179,42 @@ def test_dedup_clusters_matches_union_find(spark):
     got = {r.doc_id: (r.cluster_id, r.cluster_size)
            for r in dedup_clusters(pairs, corpus).collect()}
     assert got == {i: (want_label[i], want_size[i]) for i in ids}
+
+
+def test_contamination_check_brute_force(spark):
+    """13-gram train/eval overlap vs a Python brute force, incl. the
+    short-document whole-text fallback and the broadcast plan."""
+    from pycuda_raster_spark.operators.dedup import contamination_check
+
+    docs = [
+        (0, "alpha beta gamma"),                          # eval, short
+        (1, "alpha beta gamma"),                          # train dup of 0
+        (2, " ".join(f"w{i}" for i in range(30))),        # train
+        (3, " ".join(f"w{i}" for i in range(30))),        # train dup of 2
+        (4, " ".join(f"w{i}" for i in range(5, 40))),     # eval, overlaps 2/3
+        (5, "totally different text entirely"),           # train, clean
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    train = df.filter("doc_id % 2 = 1 or doc_id = 2")
+    ev = df.filter("doc_id in (0, 4)")
+
+    def grams(t, n=13):
+        toks = t.lower().strip().split()
+        if len(toks) >= n:
+            return {" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)}
+        return {" ".join(toks)}
+
+    ev_g = set().union(*(grams(t) for i, t in docs if i in (0, 4)))
+    want = {}
+    for i, t in docs:
+        if not (i % 2 == 1 or i == 2):
+            continue
+        k = len(grams(t) & ev_g)
+        if k:
+            want[i] = k
+    got = {r.doc_id: r.n_shared for r in contamination_check(train, ev).collect()}
+    assert got == want and 1 in got and 2 in got and 5 not in got
+
+    plan = contamination_check(train, ev)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "BatchEvalPython" not in plan
