@@ -436,6 +436,34 @@ def _q_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile-gated quality filtering (the curation step of a
+    training-data pipeline): keep documents whose token count lies in
+    [p05, p95] and whose quality score clears the corpus p25. Thresholds
+    come from ONE aggregate (interpolated percentile == DuckDB
+    quantile_cont on identical input) broadcast back over the corpus, so
+    the filter is a single scan + tiny cross join — no per-row
+    subqueries. Score arithmetic is fixed-order double math, so the
+    boundary comparisons agree bitwise across engines."""
+    from pycuda_raster_spark.operators.text import with_quality
+
+    _register(spark, sf_dir)
+    docs = with_quality(spark.table("documents"))
+    th = docs.agg(
+        F.expr("percentile(n_tokens, 0.05)").alias("lo"),
+        F.expr("percentile(n_tokens, 0.95)").alias("hi"),
+        F.expr("percentile(quality_score, 0.25)").alias("qmin"),
+    )
+    return (
+        docs.crossJoin(F.broadcast(th))
+        .filter((F.col("n_tokens") >= F.col("lo"))
+                & (F.col("n_tokens") <= F.col("hi"))
+                & (F.col("quality_score") >= F.col("qmin")))
+        .select("doc_id", F.col("n_tokens").cast("long").alias("n_tokens"),
+                F.round("quality_score", 6).alias("quality_score"))
+    )
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only; determinism covered by tests)."""
     from pycuda_raster_spark.operators.dedup import simhash64
@@ -1487,6 +1515,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_dedup_clusters": _q_dedup_clusters,
             "q_pack_shards": _q_pack_shards,
             "q_contamination": _q_contamination,
+            "q_quality_filter": _q_quality_filter,
             "q_ngram_pairs": _q_ngram_pairs,
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,
@@ -1613,6 +1642,38 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en' ELSE 'unk' END AS lang_pred,
                        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
                 FROM t
+            """,
+            "q_quality_filter": """
+                WITH t AS (
+                    SELECT doc_id, text,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks,
+                           length(text) AS n_chars
+                    FROM documents
+                ),
+                q AS (
+                    SELECT doc_id,
+                           CAST(len(toks) AS BIGINT) AS n_tokens,
+                           CAST(n_chars - length(regexp_replace(text, '[^\\w\\s]', '', 'g')) AS DOUBLE)
+                               / greatest(n_chars, 1) AS punct_ratio,
+                           CAST(len(list_filter(toks, x -> x IN ('the','a','of','and','to','in','is','on','for','with'))) AS DOUBLE)
+                               / greatest(len(toks), 1) AS stop_ratio
+                    FROM t
+                ),
+                s AS (
+                    SELECT doc_id, n_tokens,
+                           least(CAST(n_tokens AS DOUBLE) / CAST(100 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.4 AS DOUBLE)
+                           + (CAST(1 AS DOUBLE) - least(punct_ratio * CAST(4 AS DOUBLE), CAST(1 AS DOUBLE))) * CAST(0.3 AS DOUBLE)
+                           + least(stop_ratio * CAST(5 AS DOUBLE), CAST(1 AS DOUBLE)) * CAST(0.3 AS DOUBLE) AS score
+                    FROM q
+                ),
+                th AS (SELECT quantile_cont(n_tokens, 0.05) AS lo,
+                              quantile_cont(n_tokens, 0.95) AS hi,
+                              quantile_cont(score, 0.25) AS qmin
+                       FROM s)
+                SELECT s.doc_id, s.n_tokens, round(s.score, 6) AS quality_score
+                FROM s, th
+                WHERE s.n_tokens >= th.lo AND s.n_tokens <= th.hi
+                  AND s.score >= th.qmin
             """,
             "q_embedding_stats": """
                 SELECT label, vec_id, len(embedding) AS dim,
