@@ -5,7 +5,10 @@ is a from-scratch classic-TIFF implementation of the subset a single-band
 DEM needs).
 
 Scope (deliberate, documented):
-* classic TIFF (not BigTIFF), little- or big-endian on read, LE on write;
+* classic TIFF (42) read AND write; BigTIFF (43, 8-byte offsets — how
+  huge real-world DEMs/COGs ship) on READ (engine-written files are
+  classic; nothing we emit approaches the 4 GiB offset limit per file);
+  little- or big-endian on read, LE on write;
 * single band (SamplesPerPixel=1), grayscale;
 * float32 (SampleFormat=3/BitsPerSample=32) and uint16 (1/16) cells;
 * STRIP layout (RowsPerStrip) and TILED layout (TileWidth/TileLength/
@@ -58,7 +61,8 @@ _GDAL_NODATA = 42113
 _GK_MODEL_TYPE, _GK_RASTER_TYPE, _GK_CITATION = 1024, 1025, 1026
 _GK_GEOGRAPHIC_CS, _GK_PROJECTED_CS = 2048, 3072
 
-_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8}  # BYTE..DOUBLE
+_TYPE_SIZES = {1: 1, 2: 1, 3: 2, 4: 4, 5: 8, 11: 4, 12: 8,  # BYTE..DOUBLE
+               16: 8, 17: 8, 18: 8}  # LONG8 / SLONG8 / IFD8 (BigTIFF)
 
 _DTYPES = {  # on-disk dtype -> (SampleFormat, BitsPerSample)
     "f4": (3, 32),
@@ -386,18 +390,34 @@ def encode_geotiff(
     return blob
 
 
-def _read_ifd(buf: bytes, bo: str) -> dict[int, tuple[int, int, bytes]]:
-    (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
-    (n,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+def _read_ifd(buf: bytes, bo: str,
+              bigtiff: bool = False) -> dict[int, tuple[int, int, bytes]]:
+    """Classic (42) or BigTIFF (43) IFD -> {tag: (type, count, payload)}.
+    BigTIFF: 8-byte IFD offset at byte 8, 8-byte entry count, 20-byte
+    entries with 8-byte counts and 8-byte inline value slots."""
+    if bigtiff:
+        (ifd_off,) = struct.unpack(bo + "Q", buf[8:16])
+        (n,) = struct.unpack(bo + "Q", buf[ifd_off : ifd_off + 8])
+        ent0, ent_sz, inline = ifd_off + 8, 20, 8
+    else:
+        (ifd_off,) = struct.unpack(bo + "I", buf[4:8])
+        (n,) = struct.unpack(bo + "H", buf[ifd_off : ifd_off + 2])
+        ent0, ent_sz, inline = ifd_off + 2, 12, 4
     tags: dict[int, tuple[int, int, bytes]] = {}
     for k in range(n):
-        e = ifd_off + 2 + 12 * k
-        tag, typ, count = struct.unpack(bo + "HHI", buf[e : e + 8])
-        size = _TYPE_SIZES.get(typ, 1) * count
-        if size <= 4:
-            payload = buf[e + 8 : e + 8 + size]
+        e = ent0 + ent_sz * k
+        if bigtiff:
+            tag, typ = struct.unpack(bo + "HH", buf[e : e + 4])
+            (count,) = struct.unpack(bo + "Q", buf[e + 4 : e + 12])
         else:
-            (off,) = struct.unpack(bo + "I", buf[e + 8 : e + 12])
+            tag, typ, count = struct.unpack(bo + "HHI", buf[e : e + 8])
+        size = _TYPE_SIZES.get(typ, 1) * count
+        val_at = e + ent_sz - inline
+        if size <= inline:
+            payload = buf[val_at : val_at + size]
+        else:
+            (off,) = struct.unpack(bo + ("Q" if bigtiff else "I"),
+                                   buf[val_at : val_at + inline])
             payload = buf[off : off + size]
         tags[tag] = (typ, count, payload)
     return tags
@@ -407,7 +427,7 @@ def _ints(tags, tag, bo, default=None):
     if tag not in tags:
         return default
     typ, count, payload = tags[tag]
-    fmt = {3: "H", 4: "I", 1: "B"}[typ]
+    fmt = {3: "H", 4: "I", 1: "B", 16: "Q", 17: "q"}[typ]
     return list(struct.unpack(bo + fmt * count, payload))
 
 
@@ -440,9 +460,9 @@ def decode_geotiff(data: bytes) -> tuple[np.ndarray, dict]:
     sentinel."""
     bo = {b"II": "<", b"MM": ">"}[bytes(data[:2])]
     (magic,) = struct.unpack(bo + "H", data[2:4])
-    if magic != 42:
-        raise ValueError("not a classic TIFF (BigTIFF unsupported)")
-    tags = _read_ifd(data, bo)
+    if magic not in (42, 43):
+        raise ValueError(f"not a TIFF (version {magic}; classic 42 / BigTIFF 43)")
+    tags = _read_ifd(data, bo, bigtiff=(magic == 43))
 
     w = _ints(tags, _W, bo)[0]
     h = _ints(tags, _H, bo)[0]

@@ -267,6 +267,50 @@ def test_geotiff_hand_built_predictor2_fixture():
     np.testing.assert_array_equal(grid, vals.astype(np.float32))
 
 
+def test_geotiff_bigtiff_read():
+    """Hand-built BigTIFF (version 43: 8-byte IFD offset, 8-byte entry
+    counts, 20-byte entries, LONG8 strip offsets/counts, external payload
+    behind an 8-byte pointer) decodes to the same grid + georeference a
+    classic encoding carries."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff
+
+    h, w = 3, 4
+    rng = np.random.default_rng(17)
+    grid = rng.uniform(-10, 900, size=(h, w)).astype(np.float32)
+    disk = np.ascontiguousarray(grid[::-1]).astype("<f4")  # north-up rows
+    data = disk.tobytes()
+    scale = struct.pack("<3d", 2.5, 2.5, 0.0)
+
+    # layout: header(16) | IFD | scale payload | pixel data
+    n_entries = 11
+    ifd_off = 16
+    scale_off = ifd_off + 8 + 20 * n_entries + 8
+    data_off = scale_off + len(scale)
+    entries = [
+        (256, 4, 1, w), (257, 4, 1, h), (258, 3, 1, 32), (259, 3, 1, 1),
+        (262, 3, 1, 1),
+        (273, 16, 1, data_off),           # StripOffsets as LONG8
+        (277, 3, 1, 1), (278, 4, 1, h),
+        (279, 16, 1, len(data)),          # StripByteCounts as LONG8
+        (339, 3, 1, 3),
+        (33550, 12, 3, scale_off),        # external payload, 8-byte pointer
+    ]
+    assert len(entries) == n_entries
+    buf = struct.pack("<2sHHHQ", b"II", 43, 8, 0, ifd_off)
+    buf += struct.pack("<Q", n_entries)
+    for tag, typ, cnt, val in entries:
+        buf += struct.pack("<HHQQ", tag, typ, cnt, val)
+    buf += struct.pack("<Q", 0)  # next IFD
+    buf += scale + data
+    assert len(buf) == data_off + len(data)
+
+    out, hdr = decode_geotiff(buf)
+    np.testing.assert_array_equal(out, grid)
+    assert hdr["cellsize"] == 2.5 and (hdr["w"], hdr["h"]) == (w, h)
+
+
 def test_geotiff_epsg_geokeys():
     """EPSG codes ride real GeoKeys: ProjectedCSTypeGeoKey (3072) for
     projected CRS, GeographicTypeGeoKey (2048) for geographic (4xxx),
