@@ -77,3 +77,39 @@ def run_incremental(
     )
     q.awaitTermination()
     return n_written["n"]
+
+
+def read_as_of(spark: SparkSession, out_dir: str, epoch: int):
+    """Snapshot (time-travel) read of the incremental sink: the tile table
+    AS OF epoch N = the union of epoch directories <= N. Epochs are
+    append-only by construction (each epoch overwrites only ITS OWN
+    partition directory), so historical epochs are immutable and this is
+    a true Iceberg-style ``VERSION AS OF`` over the emulated layout —
+    partition pruning keeps the scan to the selected epochs."""
+    return (
+        spark.read.option("basePath", f"{out_dir}/tiles")
+        .parquet(f"{out_dir}/tiles")
+        .filter(F.col("epoch") <= epoch)
+    )
+
+
+def latest_epoch(spark: SparkSession, out_dir: str) -> int:
+    """Highest committed epoch id (the current snapshot), from the
+    partition directory listing — no data scan."""
+    row = (spark.read.parquet(f"{out_dir}/tiles")
+           .select(F.max("epoch").alias("e")).first())
+    return -1 if row.e is None else int(row.e)
+
+
+def dedup_stream(events, id_cols, event_time_col: str = "ts",
+                 delay: str = "10 minutes"):
+    """Streaming EXACT dedup: drop duplicate ``id_cols`` arrivals within
+    the watermark horizon (``dropDuplicatesWithinWatermark`` — state for
+    an id is held only until the watermark passes it, so state is bounded
+    at 100 TB/day stream rates, unlike an unbounded dropDuplicates).
+    Batch DataFrames fall back to plain dropDuplicates (one definition,
+    both execution modes — same contract as streaming/windows.py)."""
+    if not events.isStreaming:
+        return events.dropDuplicates(id_cols)
+    return (events.withWatermark(event_time_col, delay)
+            .dropDuplicatesWithinWatermark(id_cols))

@@ -119,3 +119,64 @@ def test_streaming_incremental_exactly_once(spark, images_df, tmp_path):
     assert total == SPEC.n_images * 2
     ids = spark.read.parquet(f"{out}/tiles").select("image_id").distinct().count()
     assert ids == SPEC.n_images
+
+def test_read_as_of_time_travel(spark, images_df, tmp_path):
+    """Snapshot reads over the incremental sink: AS OF epoch 0 sees only
+    the first batch's tiles forever (epoch dirs are immutable), AS OF the
+    latest epoch sees everything; the epoch filter prunes partitions."""
+    from pycuda_raster_spark.streaming.stream import (
+        latest_epoch,
+        read_as_of,
+        run_incremental,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    first = images_df.limit(8)
+    first.write.mode("append").parquet(src)
+    assert run_incremental(spark, src, out, ckpt, tile_rows=16) == 8
+    snap0 = {r.image_id for r in read_as_of(spark, out, 0).collect()}
+    assert snap0 == {r.image_id for r in first.collect()}
+
+    images_df.subtract(first).write.mode("append").parquet(src)
+    run_incremental(spark, src, out, ckpt, tile_rows=16)
+    cur = latest_epoch(spark, out)
+    assert cur >= 1
+    # history is immutable; the current snapshot sees the full corpus
+    assert {r.image_id for r in read_as_of(spark, out, 0).collect()} == snap0
+    assert ({r.image_id for r in read_as_of(spark, out, cur).collect()}
+            == {r.image_id for r in images_df.collect()})
+    # partition pruning: epoch filter reaches the scan
+    plan = read_as_of(spark, out, 0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(epoch" in plan.replace("#", "") or \
+           "epoch" in plan.split("PartitionFilters")[1][:120]
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    """Streaming exact dedup: duplicate event_ids arriving within the
+    watermark horizon are dropped (state bounded by the watermark);
+    the batch fallback shares the definition."""
+    import datetime as dt
+
+    from pycuda_raster_spark.streaming.stream import dedup_stream
+
+    src = str(tmp_path / "events")
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(i % 6, t0 + dt.timedelta(seconds=i)) for i in range(18)]
+    spark.createDataFrame(rows, "event_id long, ts timestamp").write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream
+              .schema("event_id long, ts timestamp").parquet(src))
+    q = (dedup_stream(stream, ["event_id"], "ts", "1 hour")
+         .writeStream.format("memory").queryName("dedup_sink")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    got = spark.sql("SELECT event_id FROM dedup_sink").collect()
+    assert sorted(r.event_id for r in got) == [0, 1, 2, 3, 4, 5]
+
+    batch = spark.read.parquet(src)
+    assert dedup_stream(batch, ["event_id"]).count() == 6
