@@ -464,6 +464,29 @@ def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cosine_pairs_lsh_dual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELF-CHECKED banded cosine scale path (the construction that
+    closed the minhash/ngram gap in r3, extended to hyperplane LSH):
+    union of TWO independent 32-band x 4-plane bandings (seeds 42/4242;
+    per-run recall ~0.993 at cos 0.35, union ~0.99995). On the contract
+    corpus each single banding misses 1-2 hard pairs (different ones);
+    the union reproduces the exhaustive 271-pair answer EXACTLY
+    (measured, all seed pairs tried agree), so this row carries the full
+    value-exact oracle and pins the banded candidate join + JVM verify
+    end to end."""
+    from pycuda_raster_spark import oracle_corpus as oc
+    from pycuda_raster_spark.operators.similarity import cosine_pairs
+
+    _register(spark, sf_dir)
+    emb = spark.table("embeddings")
+    a = cosine_pairs(emb, threshold=0.35, n_bands=32, band_planes=4,
+                     seed=42, dim=oc.EMB_DIM)
+    b = cosine_pairs(emb, threshold=0.35, n_bands=32, band_planes=4,
+                     seed=4242, dim=oc.EMB_DIM)
+    out = a.unionByName(b).dropDuplicates(["id_a", "id_b"])
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints (rows-only; determinism covered by tests)."""
     from pycuda_raster_spark.operators.dedup import simhash64
@@ -1466,6 +1489,7 @@ def _corpus_oracles() -> dict[str, str]:
         "q_minhash_pairs_lsh_dual": minhash,
         "q_ngram_pairs_lsh_dual": ngram,
         "q_cosine_pairs": cosine,
+        "q_cosine_pairs_lsh_dual": cosine,
         "q_ivf_ann": ivf,
         "q_ivf_ann_join": ivf,
     }
@@ -1550,6 +1574,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             # that pin the probabilistic scale paths (VERDICT r2 #10)
             "q_minhash_pairs_lsh_dual": _q_minhash_pairs_lsh_dual,
             "q_ngram_pairs_lsh_dual": _q_ngram_pairs_lsh_dual,
+            "q_cosine_pairs_lsh_dual": _q_cosine_pairs_lsh_dual,
         }
     )
     return q
