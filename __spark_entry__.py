@@ -708,6 +708,19 @@ def _r_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_dedup(images, max_hamming=4)
 
 
+def _r_phash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side near-dup CLUSTERS: connected components over the
+    pigeonhole-exact phash pair graph (same dedup_clusters machinery as
+    the text side; string ids order lexicographically in both engines).
+    cluster_id = min member image_id — the survivor a dedup keeps."""
+    from pycuda_raster_spark.operators.dedup import dedup_clusters, phash_dedup
+
+    images = spark.read.parquet(f"{_corpus_dir()}/images_media.parquet")
+    pairs = phash_dedup(images, max_hamming=4).select(
+        F.col("image_id_a").alias("id_a"), F.col("image_id_b").alias("id_b"))
+    return dedup_clusters(pairs, images, id_col="image_id")
+
+
 def _r_knn_tiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """kNN TILE-neighbor lookup (north rule B:14): nearest product tiles
     (by centroid) for each query point."""
@@ -1215,6 +1228,33 @@ def _corpus_oracles() -> dict[str, str]:
           AND bit_count(xor(a.phash, b.phash)) <= 4
     """
 
+    # phash clusters: recursive reachability closure over the same exact
+    # pair predicate (string MIN == Spark's lexicographic min on the
+    # fixed-width ASCII ids)
+    phash_cc = f"""
+        WITH RECURSIVE pairs AS (
+            SELECT a.image_id AS id_a, b.image_id AS id_b
+            FROM {media} a, {media} b
+            WHERE a.image_id < b.image_id
+              AND bit_count(xor(a.phash, b.phash)) <= 4
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION ALL
+            SELECT id_b, id_a FROM pairs
+        ),
+        walk(id, r) AS (
+            SELECT image_id, image_id FROM {media}
+            UNION
+            SELECT e.src, w.r FROM edges e JOIN walk w ON w.id = e.dst
+        ),
+        cc AS (SELECT id, MIN(r) AS cluster_id FROM walk GROUP BY id)
+        SELECT id AS image_id, cluster_id,
+               CAST(count(*) OVER (PARTITION BY cluster_id) AS BIGINT)
+                   AS cluster_size
+        FROM cc
+    """
+
     # resample oracles: identical rational index math as the engine
     # (num = (2*out+1)*in - out_n held exactly as integers; one
     # correctly-rounded double division for the bilinear weight; fixed
@@ -1442,6 +1482,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_range_join": range_join,
         "r_phash_dedup": phash,
         "r_rasterize": rasterize,
+        "r_phash_clusters": phash_cc,
         "r_resample_nearest": resample_n,
         "r_resample_bilinear": resample_b,
         "r_multimodal_features": multimodal,
@@ -1557,6 +1598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_range_join": _r_range_join,
             "r_phash_dedup": _r_phash_dedup,
             "r_rasterize": _r_rasterize,
+            "r_phash_clusters": _r_phash_clusters,
             "r_resample_nearest": _r_resample_nearest,
             "r_resample_bilinear": _r_resample_bilinear,
             "r_multimodal_features": _r_multimodal_features,
