@@ -114,6 +114,33 @@ def _probe() -> int:
     return k
 
 
+def _probe_mt(n_threads: int = 16) -> int:
+    """Aggregate matmul rate across n_threads concurrent workers (NumPy
+    releases the GIL in dgemm). The single-thread probe misses windows
+    where per-core speed is fine but aggregate host capacity is degraded
+    (observed: probe 800+ while 32-thread stages ran 5-10x slow) — this
+    one catches those. Healthy ~= n_threads x 60-80%% of the 1T rate."""
+    import threading
+
+    import numpy as np
+
+    counts = [0] * n_threads
+    stop = time.time() + 2
+
+    def work(i: int) -> None:
+        a = np.random.rand(600, 600)
+        while time.time() < stop:
+            a @ a
+            counts[i] += 1
+
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n_threads)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    return sum(counts)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -183,6 +210,7 @@ def main() -> None:
         # low, the times above measure the host, not the engine
         "probe_before": probe_before,
         "probe_after": _probe(),
+        "probe_mt16_after": _probe_mt(),
     }
     print(json.dumps(out))
 
