@@ -52,6 +52,21 @@ def probe():
         b = a @ a; k += 1
     return k
 
+def probe_mt(n=8):
+    # aggregate-capacity probe: catches the host mode where per-thread
+    # speed is normal but total capacity is ~1 core (r3 finding) — the
+    # single-thread gate is blind to it
+    import threading
+    counts = [0] * n
+    stop = time.time() + 2
+    def work(i):
+        a = np.random.rand(600, 600)
+        while time.time() < stop:
+            a @ a; counts[i] += 1
+    ts = [threading.Thread(target=work, args=(i,)) for i in range(n)]
+    [t.start() for t in ts]; [t.join() for t in ts]
+    return sum(counts)
+
 def gate(max_wait=600):
     t0 = time.time()
     while True:
@@ -132,7 +147,7 @@ w = best_of(pipeline_compute)
 w_lsh = best_of(lsh_compute)
 n_tiles = n_images * ((edge + 63) // 64)
 print(json.dumps({"cores": cores, "sec": round(w, 2), "lsh_sec": round(w_lsh, 2),
-                  "probe": p, "tiles": n_tiles,
+                  "probe": p, "probe_mt8": probe_mt(), "tiles": n_tiles,
                   "pixels_per_sec": n_images * edge * edge / w}))
 """
 
