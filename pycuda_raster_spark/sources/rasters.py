@@ -211,13 +211,17 @@ def export_geotiffs(
     crs: str = "ENGINE:PLANE",
     compression: str = "deflate",
     max_files: int | None = 10_000,
+    predictor: int = 1,
+    tile_size: tuple[int, int] | None = None,
 ) -> int:
     """Sink: reassemble per-image grids from tiles and write one GeoTIFF
     per image — the reference's dataSaver role with the input's
     georeference + NODATA + CRS. One-file-per-image text/tiff output is
     inherently a driver-side small-file sink (the parquet tile table is
     the scale sink); ``max_files`` guards against accidentally funnelling
-    a corpus through the driver."""
+    a corpus through the driver. ``compression`` (none/lzw/deflate),
+    ``predictor`` (1/2/3) and ``tile_size`` (COG-style tiled layout,
+    multiples of 16) pass through to the codec."""
     import os
 
     from .geotiff import encode_geotiff
@@ -250,7 +254,8 @@ def export_geotiffs(
         with open(f"{out_dir}/{name}", "wb") as f:
             f.write(encode_geotiff(grid, x0=x0, y0=y0, cellsize=cs,
                                    nodata=nodata, crs=img_crs,
-                                   compression=compression))
+                                   compression=compression,
+                                   predictor=predictor, tile_size=tile_size))
         n += 1
 
     for r in it:

@@ -421,3 +421,31 @@ def test_catalog_dynamic_partition_overwrite(spark, tmp_path):
     catalog.write(df2, p, partition_by=["bucket"])
     got = {(r.bucket, r.v) for r in catalog.read(spark, p).collect()}
     assert got == {(0, "a2"), (1, "b")}
+
+
+def test_export_geotiffs_codec_options_roundtrip(spark, tmp_path):
+    """export_geotiffs with COG-style options (tiled + predictor-3 LZW)
+    writes files that decode bit-identically and re-dispatch through
+    read_raster_files."""
+    from pycuda_raster_spark.fixtures import CorpusSpec, build_images, grid_for
+    from pycuda_raster_spark.functions import codecs
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.sources.rasters import export_geotiffs
+
+    spec = CorpusSpec(n_images=2, w=48, h=32)
+    images = spark.createDataFrame(build_images(spec))
+    tiles = decode_tiles(images, tile_rows=16)
+    out = tmp_path / "tifs"
+    n = export_geotiffs(tiles, str(out), compression="lzw", predictor=3,
+                        tile_size=(16, 16))
+    assert n == 2
+    rows = {r.image_id: r for r in
+            read_raster_files(spark, str(out)).collect()}
+    for i in range(2):
+        want = codecs.decode(
+            codecs.encode(grid_for(i, spec),
+                          ["raw", "png", "q8", "raw"][i % 4]),
+            ["raw", "png", "q8", "raw"][i % 4], spec.w, spec.h)
+        r = rows[f"img{i:06d}.tif"]
+        np.testing.assert_array_equal(
+            decode(bytes(r.bytes), "raw", r.w, r.h), want, f"img{i}")
