@@ -621,6 +621,30 @@ def _r_focal_hillshade(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_zonal_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zonal statistics over a DERIVED raster (mean/min/max slope per
+    zone — the classic 'average steepness by watershed' GIS workflow):
+    the same pixel-free partial+final zonal machinery as the flagship,
+    pointed at the focal slope band instead of elevation. The oracle
+    re-derives Horn slope per pixel AND the tile-centroid zone
+    assignment in SQL."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import focal_products
+    from pycuda_raster_spark.operators.zonal import zonal_stats
+
+    images, zones, _ = _corpus(spark)
+    slope_tiles = focal_products(decode_tiles(images, tile_rows=8),
+                                 products=("slope",))
+    out = zonal_stats(slope_tiles, zones, res=6, value_col="slope",
+                      exact_sums=True)
+    return out.select(
+        "zone_id", "n_px",
+        F.round("sum_px", 4).alias("sum_px"),
+        "min_px", "max_px",
+        F.round("mean_px", 6).alias("mean_px"),
+    )
+
+
 def _r_focal_terrain(spark: SparkSession, sf_dir: str) -> DataFrame:
     """gdaldem's other three 3x3 terrain products — TRI (Riley), TPI,
     roughness (the same public tool the reference's golden tests compare
@@ -1089,6 +1113,46 @@ def _corpus_oracles() -> dict[str, str]:
         FROM hs GROUP BY image_id, r // 8
     """
 
+    # zonal over the DERIVED slope raster: slope pixels from the horn
+    # window (the valid-window inner joins ARE the NODATA filter), then
+    # the flagship's tile-partial -> centroid-PIP -> decimal-sum chain
+    slope_ps_fold = _fold_sql("list(CAST(s AS DOUBLE) ORDER BY r, c)")
+    zonal_slope = f"""
+        WITH {horn_win},
+        slp AS (
+            SELECT image_id, r, c,
+                   CAST(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy))) AS FLOAT) AS s
+            FROM grad
+        ),
+        tile AS (
+            SELECT image_id, r // 8 AS tile_y,
+                   CAST(count(*) AS BIGINT) AS pn,
+                   {slope_ps_fold} AS ps,
+                   min(CAST(s AS DOUBLE)) AS pmin,
+                   max(CAST(s AS DOUBLE)) AS pmax
+            FROM slp
+            GROUP BY image_id, r // 8
+        ),
+        cent AS (
+            SELECT t.*,
+                   i.x0 + i.w / 2.0 * i.cellsize AS cx,
+                   i.y0 + (t.tile_y * 8 + 8 / 2.0) * i.cellsize AS cy
+            FROM tile t JOIN {images} i USING (image_id)
+        ),
+        hit AS (
+            SELECT z.zone_id, c.pn, c.ps, c.pmin, c.pmax
+            FROM cent c, {zones} z
+            WHERE {_raycast_sql('c.cx', 'c.cy', 'z.ring')}
+        )
+        SELECT zone_id,
+               CAST(SUM(pn) AS BIGINT) AS n_px,
+               round(CAST(SUM(CAST(ps AS DECIMAL(30,10))) AS DOUBLE), 4) AS sum_px,
+               min(pmin) AS min_px, max(pmax) AS max_px,
+               round(CAST(SUM(CAST(ps AS DECIMAL(30,10))) AS DOUBLE)
+                     / CAST(SUM(pn) AS BIGINT), 6) AS mean_px
+        FROM hit GROUP BY zone_id
+    """
+
     # multidirectional hillshade: same transcendental-absorb strategy as
     # the single-azimuth product (rint'd integers sum exactly); the four
     # azimuth terms accumulate left-associatively, per-direction shading
@@ -1474,6 +1538,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_focal_aspect": aspect,
         "r_focal_hillshade": hillshade,
         "r_focal_terrain": terrain,
+        "r_zonal_slope": zonal_slope,
         "r_hillshade_md": hillshade_md,
         "r_color_relief": color,
         "r_pip_join": pip,
@@ -1590,6 +1655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_aspect": _r_focal_aspect,
             "r_focal_hillshade": _r_focal_hillshade,
             "r_focal_terrain": _r_focal_terrain,
+            "r_zonal_slope": _r_zonal_slope,
             "r_hillshade_md": _r_hillshade_md,
             "r_color_relief": _r_color_relief,
             "r_pip_join": _r_pip_join,
