@@ -357,12 +357,16 @@ def dedup_clusters(
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iterations} rounds")
-    sizes = labels.groupBy("label").agg(F.count("*").alias("cluster_size"))
-    out = labels.join(sizes, "label").select(
+    # pin the converged labels in a GC-cleaned localCheckpoint, then drop
+    # the loop caches — a plain .cache() left the final labels (and edges)
+    # resident forever across repeated calls (ADVICE r3)
+    final = labels.localCheckpoint(eager=True)
+    labels.unpersist()
+    edges.unpersist()
+    sizes = final.groupBy("label").agg(F.count("*").alias("cluster_size"))
+    return final.join(sizes, "label").select(
         F.col("id").alias(id_col), F.col("label").alias("cluster_id"),
         "cluster_size")
-    edges.unpersist()
-    return out
 
 
 def contamination_check(

@@ -46,13 +46,20 @@ def pack_shards(
         raise ValueError("budget must be >= 1")
     spark = df.sparkSession
     n_part = partitions or spark.sparkContext.defaultParallelism
+    # localCheckpoint (not persist): both passes must see ONE partitioning
+    # (repartitionByRange samples independently per job), and an eager
+    # checkpoint pins it while letting the ContextCleaner free the blocks
+    # when the result goes unreachable — a plain persist() leaked executor
+    # storage across repeated calls (ADVICE r3). Tradeoff: lineage is
+    # truncated, so a lost block fails the job instead of recomputing —
+    # acceptable for a deterministic two-job window.
     slim = (
         df.select(F.col(id_col).alias("id"),
                   F.col(weight_col).cast("long").alias("w"))
         .repartitionByRange(n_part, F.col("id"))
         .sortWithinPartitions("id")
         .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint(eager=True)
     )
     # one row per partition -> driver; prefix-sum into start offsets
     partials = {r["__pid"]: r["total"] for r in

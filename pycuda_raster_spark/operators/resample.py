@@ -47,7 +47,8 @@ NODATA = -9999.0
 
 OUT_SCHEMA = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
-    "cellsize double, x0 double, y0 double, crs string, px array<float>"
+    "cellsize double, cellsize_x double, x0 double, y0 double, crs string, "
+    "px array<float>"
 )
 
 
@@ -73,10 +74,13 @@ def resample_tiles(
 ) -> DataFrame:
     """Resample every image in a (halo-free, full-coverage) tiles table to
     ``out_h x out_w``. Returns a tiles-shaped DataFrame tiled in
-    ``out_tile_rows`` bands; georeference is rescaled for the row axis
-    (``cellsize * h / out_h`` — pass proportional out dims to keep square
-    cells; extent/x0/y0 are preserved either way for the row-proportional
-    case)."""
+    ``out_tile_rows`` bands. Georeference: ``cellsize`` is the ROW-axis
+    cell size (``cellsize * h / out_h``) and ``cellsize_x`` the COLUMN-axis
+    one (``cellsize * w / out_w``) — they differ when the output dims are
+    not proportional to the input (e.g. the 48x10 contract case), so the
+    extent is described exactly instead of a single square-cell header
+    silently misplacing the x-extent (ADVICE r3). Proportional resamples
+    have ``cellsize == cellsize_x``; extent/x0/y0 are preserved."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unsupported method {method} (nearest/bilinear)")
     if out_h < 1 or out_w < 1:
@@ -190,6 +194,7 @@ def resample_tiles(
             "w": [ow],
             "h": [int(out_h)],
             "cellsize": [float(first.cellsize) * in_h / out_h],
+            "cellsize_x": [float(first.cellsize) * in_w / ow],
             "x0": [float(first.x0)],
             "y0": [float(first.y0)],
             "crs": [first.crs],

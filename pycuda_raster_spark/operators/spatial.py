@@ -134,33 +134,28 @@ def pip_join(
     )
 
 
-def knn_join(
-    queries: DataFrame,
-    sites: DataFrame,
-    k: int,
-    res: int,
-    ring: int = 1,
-    query_id: str = "point_id",
-    site_id: str = "site_id",
-    exact_fallback: bool = True,
-) -> DataFrame:
-    """Exact k-nearest-site join -> (query_id, site_id, rank, dist).
+def _knn_dist():
+    """Shared query-site distance for the kNN phases — explicit
+    multiplication (not **2 -> Math.pow): bit-reproducible plain IEEE ops,
+    so the DuckDB oracle computes the identical double. (A function, not a
+    module constant: Column construction needs a live SparkContext.)"""
+    dx = F.col("__qx") - F.col("__sx")
+    dy = F.col("__qy") - F.col("__sy")
+    return F.sqrt(dx * dx + dy * dy)
 
-    Phase 1 (scale path): candidates from the k-ring of each query's cell
-    (equi-join on cell — shuffled hash/SMJ, AQE-skew-splittable), ranked by
-    a per-query window. Phase 2 (exactness guard): a ring of radius r only
-    certifies neighbors within r*cell_size; queries whose k-th candidate is
-    farther (or that found < k) re-run brute force via a broadcast
-    cross-join of JUST those queries. At production scale phase 2 touches
-    only sparse-region stragglers.
-    """
-    q = queries if "cell" in queries.columns else with_cell(queries, res)
-    q = q.select(F.col(query_id).alias("__qid"), F.col("x").alias("__qx"),
-                 F.col("y").alias("__qy"), "cell")
-    s = sites if "cell" in sites.columns else with_cell(sites, res)
-    s = s.select(F.col(site_id).alias("__sid"), F.col("x").alias("__sx"),
-                 F.col("y").alias("__sy"), F.col("cell").alias("__scell"))
 
+def _knn_window():
+    return Window.partitionBy("__qid").orderBy(
+        F.col("dist").asc(), F.col("__sid").asc())
+
+
+def _knn_ring_attempt(q: DataFrame, s: DataFrame, k: int, res: int,
+                      ring: int) -> tuple[DataFrame, DataFrame]:
+    """One ring-expansion round: candidates from each query's k-ring,
+    per-query window top-k, and the CERTIFIED query set — a ring of radius
+    r guarantees all sites within r*cell_size, so a query whose k-th
+    candidate is closer than that (and that found >= k) is exact.
+    Returns (ranked_topk, certified_query_ids)."""
     from ..functions.cellindex_sql import kring_from_xy_expr
 
     cand = (
@@ -171,42 +166,84 @@ def knn_join(
         .join(s, F.col("__ncell") == F.col("__scell"))
         .drop("__ncell", "__scell", "cell")
     )
-    # explicit multiplication (not **2 -> Math.pow): bit-reproducible plain
-    # IEEE ops, so the DuckDB oracle computes the identical double
-    dx, dy = F.col("__qx") - F.col("__sx"), F.col("__qy") - F.col("__sy")
-    dist = F.sqrt(dx * dx + dy * dy)
-    w = Window.partitionBy("__qid").orderBy(F.col("dist").asc(), F.col("__sid").asc())
     ranked = (
-        cand.withColumn("dist", dist)
-        .withColumn("rank", F.row_number().over(w))
+        cand.withColumn("dist", _knn_dist())
+        .withColumn("rank", F.row_number().over(_knn_window()))
         .filter(F.col("rank") <= k)
     )
+    safe_r = ring * cellindex.cell_size(res)
+    ok_q = (
+        ranked.groupBy("__qid")
+        .agg(F.count("*").alias("__n"), F.max("dist").alias("__maxd"))
+        .filter((F.col("__n") >= k) & (F.col("__maxd") < F.lit(safe_r)))
+        .select("__qid")
+    )
+    return ranked, ok_q
 
-    if exact_fallback:
-        # certification radius: a ring of ``ring`` cells guarantees all
-        # sites within (ring) * cell_size of the query's cell — conservative
-        safe_r = ring * cellindex.cell_size(res)
-        ok_q = (
-            ranked.groupBy("__qid")
-            .agg(F.count("*").alias("__n"), F.max("dist").alias("__maxd"))
-            .filter((F.col("__n") >= k) & (F.col("__maxd") < F.lit(safe_r)))
-            .select("__qid")
-        )
-        # queries with too few / uncertified candidates — including those
-        # whose ring matched NOTHING (absent from `ranked` entirely)
-        bad_q = q.select("__qid").join(ok_q, "__qid", "left_anti")
-        ok = ranked.join(bad_q, "__qid", "left_anti")
-        redo = (
-            q.join(F.broadcast(bad_q), "__qid")
-            .drop("cell")
-            .crossJoin(s.drop("__scell"))
-            .withColumn("dist", dist)
-            .withColumn("rank", F.row_number().over(w))
-            .filter(F.col("rank") <= k)
-        )
-        ranked = ok.unionByName(redo)
 
-    return ranked.select(
+def knn_join(
+    queries: DataFrame,
+    sites: DataFrame,
+    k: int,
+    res: int,
+    ring: int = 1,
+    query_id: str = "point_id",
+    site_id: str = "site_id",
+    exact_fallback: bool = True,
+    fallback_rounds: int = 2,
+) -> DataFrame:
+    """Exact k-nearest-site join -> (query_id, site_id, rank, dist).
+
+    Phase 1 (scale path): candidates from the k-ring of each query's cell
+    (equi-join on cell — shuffled hash/SMJ, AQE-skew-splittable), ranked by
+    a per-query window. Phase 2 (exactness guard, VERDICT r3 #4): queries
+    the ring radius cannot certify (k-th candidate beyond ring*cell_size,
+    or fewer than k found) retry with DOUBLED rings — ``fallback_rounds``
+    rounds of 2x, 4x, ... — each round touching only the still-uncertified
+    queries; whatever survives all doublings falls back to a broadcast
+    cross-join of JUST those queries. On a pathologically sparse corpus the
+    old single-step fallback degenerated to near-quadratic; with doubling,
+    the cross-join sees only queries whose true k-th neighbor is farther
+    than 2^rounds * ring cells — a vanishing fraction at any density. The
+    plan is static (no driver-side counts): empty redo sets make the extra
+    rounds near-free equi-joins.
+    """
+    q = queries if "cell" in queries.columns else with_cell(queries, res)
+    q = q.select(F.col(query_id).alias("__qid"), F.col("x").alias("__qx"),
+                 F.col("y").alias("__qy"), "cell")
+    s = sites if "cell" in sites.columns else with_cell(sites, res)
+    s = s.select(F.col(site_id).alias("__sid"), F.col("x").alias("__sx"),
+                 F.col("y").alias("__sy"), F.col("cell").alias("__scell"))
+
+    ranked, ok_q = _knn_ring_attempt(q, s, k, res, ring)
+
+    if not exact_fallback:
+        return ranked.select(
+            F.col("__qid").alias(query_id), F.col("__sid").alias(site_id),
+            "rank", "dist")
+
+    parts = [ranked.join(ok_q, "__qid", "left_semi")]
+    remaining = q.join(ok_q, "__qid", "left_anti")
+    r = ring
+    for _ in range(max(0, fallback_rounds)):
+        r *= 2
+        ranked_r, ok_r = _knn_ring_attempt(remaining, s, k, res, r)
+        parts.append(ranked_r.join(ok_r, "__qid", "left_semi"))
+        remaining = remaining.join(ok_r, "__qid", "left_anti")
+
+    # last resort: brute force for the (tiny) still-uncertified set
+    redo = (
+        F.broadcast(remaining.drop("cell"))
+        .crossJoin(s.drop("__scell"))
+        .withColumn("dist", _knn_dist())
+        .withColumn("rank", F.row_number().over(_knn_window()))
+        .filter(F.col("rank") <= k)
+    )
+    parts.append(redo)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
         F.col("__qid").alias(query_id), F.col("__sid").alias(site_id), "rank", "dist"
     )
 

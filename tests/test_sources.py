@@ -449,3 +449,54 @@ def test_export_geotiffs_codec_options_roundtrip(spark, tmp_path):
         r = rows[f"img{i:06d}.tif"]
         np.testing.assert_array_equal(
             decode(bytes(r.bytes), "raw", r.w, r.h), want, f"img{i}")
+
+
+def test_bigtiff_write_roundtrip():
+    """BigTIFF (43) WRITE: forced 8-byte-offset layout roundtrips through
+    the version-parameterized reader bit-for-bit, for strip and tiled +
+    predictor variants; small grids stay classic 42 under auto-detect."""
+    import struct
+
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    rng = np.random.default_rng(5)
+    g = rng.normal(size=(40, 33)).astype(np.float32)
+    for name, kw in {
+        "strip_deflate": dict(),
+        "strip_none": dict(compression="none"),
+        "tiled_pred3": dict(tile_size=(16, 16), predictor=3),
+        "strip_lzw": dict(compression="lzw"),
+    }.items():
+        blob = encode_geotiff(g, x0=7.0, y0=3.0, cellsize=2.5,
+                              crs="EPSG:32610", bigtiff=True, **kw)
+        assert blob[2:4] == struct.pack("<H", 43), name
+        out, hdr = decode_geotiff(blob)
+        np.testing.assert_array_equal(out, g, err_msg=name)
+        assert hdr["cellsize"] == 2.5 and hdr["crs"] == "EPSG:32610", name
+    # auto-detect keeps small grids classic
+    assert encode_geotiff(g)[2:4] == struct.pack("<H", 42)
+
+
+def test_geotiff_u2_nodata_remap_and_range_guard():
+    """u2 export remaps the float NODATA sentinel to 65535 (and writes it
+    as the GDAL_NODATA tag) instead of wrapping -9999 to garbage; grids
+    with unrepresentable values are rejected loudly (ADVICE r3)."""
+    import pytest
+
+    from pycuda_raster_spark.functions.codecs import NODATA
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff, encode_geotiff
+
+    g = np.arange(12, dtype=np.float32).reshape(3, 4) * 100.0
+    g[1, 2] = NODATA
+    out, hdr = decode_geotiff(encode_geotiff(g, dtype="u2"))
+    assert hdr["nodata"] == 65535.0
+    # masked cell comes back as the engine sentinel; the rest exact
+    assert out[1, 2] == np.float32(NODATA)
+    mask = np.ones_like(g, dtype=bool)
+    mask[1, 2] = False
+    np.testing.assert_array_equal(out[mask], g[mask])
+
+    with pytest.raises(ValueError, match="outside"):
+        encode_geotiff(np.full((2, 2), -5.0, dtype=np.float32), dtype="u2")
+    with pytest.raises(ValueError, match="non-integer"):
+        encode_geotiff(np.full((2, 2), 1.5, dtype=np.float32), dtype="u2")

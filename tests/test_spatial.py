@@ -181,6 +181,57 @@ def test_pip_hot_cell_broadcast_is_skew_proof(spark):
     assert got == want
 
 
+def test_knn_sparse_fallback_ring_doubling(spark):
+    """Pathologically sparse corpus (ring=1 certifies almost nothing): the
+    doubled-ring fallback rounds must certify the bulk of the queries with
+    equi-joins, leaving only a small tail for the cross-join last resort
+    (VERDICT r3 #4) — and the result must still be the exact brute-force
+    answer. Plan check: exactly ONE nested-loop join in the whole plan
+    (the bounded last resort), not one per round."""
+    from pycuda_raster_spark.functions import cellindex
+    from pycuda_raster_spark.operators.spatial import _knn_ring_attempt
+
+    cs = cellindex.cell_size(RES)
+    rng = np.random.default_rng(21)
+    qxy = rng.uniform(0.0, 20.0 * cs, size=(400, 2))
+    sxy = rng.uniform(0.0, 20.0 * cs, size=(120, 2))
+    q = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(qxy)],
+        "point_id long, x double, y double")
+    s = spark.createDataFrame(
+        [(i, float(x), float(y)) for i, (x, y) in enumerate(sxy)],
+        "site_id long, x double, y double")
+
+    out = knn_join(q, s, k=3, res=RES, ring=1)
+    got = {(r.point_id, r.site_id, r.rank) for r in out.collect()}
+    d = np.hypot(qxy[:, None, 0] - sxy[None, :, 0],
+                 qxy[:, None, 1] - sxy[None, :, 1])
+    order = np.lexsort((np.broadcast_to(np.arange(len(sxy)), d.shape), d), axis=1)
+    want = {(qi, int(order[qi, r]), r + 1)
+            for qi in range(len(qxy)) for r in range(3)}
+    assert got == want
+
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final_plan = plan.split("== Initial Plan ==")[0]  # AQE prints both
+    assert final_plan.count("BroadcastNestedLoopJoin") == 1, final_plan[:3000]
+
+    # the doubling rounds must shrink the uncertified set sharply: replay
+    # the internal certification cascade and count survivors per round
+    qq = with_cell(q, RES).select(
+        F.col("point_id").alias("__qid"), F.col("x").alias("__qx"),
+        F.col("y").alias("__qy"), "cell")
+    ss = with_cell(s, RES).select(
+        F.col("site_id").alias("__sid"), F.col("x").alias("__sx"),
+        F.col("y").alias("__sy"), F.col("cell").alias("__scell"))
+    remaining, counts = qq, []
+    for r in (1, 2, 4):
+        _, ok = _knn_ring_attempt(remaining, ss, 3, RES, r)
+        remaining = remaining.join(ok, "__qid", "left_anti")
+        counts.append(remaining.count())
+    assert counts[0] > len(qxy) * 0.3, counts   # ring 1 really is starved
+    assert counts[-1] <= len(qxy) * 0.2, counts  # doubling certified the bulk
+
+
 def test_knn_broadcast_and_skew_plan(spark, points):
     """Plan sanity: candidate join must not degenerate to cartesian, and
     the pip broadcast hint must produce a BroadcastHashJoin."""

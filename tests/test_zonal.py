@@ -92,6 +92,45 @@ def test_rasterize_zones_vs_raycast(spark):
     assert checked_hits > 0, "rasterize test exercised no in-zone pixels"
 
 
+def test_rasterize_zones_is_collect_free(spark, monkeypatch):
+    """Scale gate (VERDICT r3 #3): building AND running rasterize_zones
+    must never collect the zones table to the driver — candidates come
+    from the cover-cell equi-join. collect()/first()/toPandas are patched
+    to raise for the whole construction; the result arrives via
+    toLocalIterator only."""
+    import pyspark.sql.dataframe as _df_mod
+
+    images, rows, cs = _images_with_geo(spark)
+    zones = build_zones(10, res=RES)
+    zones_df = spark.createDataFrame(zones)
+    tiles = decode_tiles(images.limit(2), tile_rows=TILE_ROWS)
+
+    def _banned(self, *a, **k):
+        raise AssertionError("driver-side collect inside rasterize_zones")
+
+    monkeypatch.setattr(_df_mod.DataFrame, "collect", _banned)
+    monkeypatch.setattr(_df_mod.DataFrame, "first", _banned)
+    monkeypatch.setattr(_df_mod.DataFrame, "toPandas", _banned)
+    out = rasterize_zones(tiles, zones_df, res=RES)
+    got = list(out.toLocalIterator())
+    monkeypatch.undo()
+    assert got
+    # and the masks are still the exact ray-cast answer on a spot check
+    r = got[0]
+    i = int(r.image_id[3:])
+    x0, y0 = image_origin(i, SPEC.n_images)
+    mask = np.asarray(r.zone_mask).reshape(r.th, r.w)
+    for yi in range(0, r.th, 5):
+        for xi in range(0, r.w, 5):
+            px = x0 + (xi + 0.5) * cs
+            py = y0 + (r.ty0 + yi + 0.5) * cs
+            hits = [z["zone_id"] for z in zones
+                    if point_in_ring(np.array([px]), np.array([py]), z["ring"])[0]]
+            assert (mask[yi, xi] == -1) == (not hits)
+            if hits:
+                assert mask[yi, xi] in hits
+
+
 def test_zonal_exact_sums_partitioning_invariant(spark):
     """exact_sums=True routes partial sums through DECIMAL: the result must
     be BIT-IDENTICAL across partitionings (a raw double SUM over a shuffled
