@@ -516,6 +516,45 @@ def _q_ivf_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
                     nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
 
 
+def _q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multilingual language ID (VERDICT r3 #8): per-language function-word
+    hit rates over 4 profiles + argmax prediction — exact small-integer
+    ratios, so the oracle matches every rate double bit-for-bit and shares
+    the greatest/equality tie-break definition."""
+    from pycuda_raster_spark.operators.text import with_lang_id_multi
+
+    _register(spark, sf_dir)
+    out = with_lang_id_multi(spark.table("documents"))
+    return out.select("doc_id", "lang_pred",
+                      "rate_en", "rate_de", "rate_fr", "rate_es")
+
+
+def _q_ivf_ann_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN with a TRAINED codebook (VERDICT r3 #7): two deterministic
+    distributed Lloyd iterations refine the seeded centroids, then the
+    same assign -> probe -> rank pipeline runs. The oracle replays the
+    training loop in SQL (argmax-dot assign, DECIMAL(30,15)-exact
+    per-dimension mean) and the search; output is ranks only
+    (float-roundoff-proof — argmax/rank margins >> accumulated ulp)."""
+    from pycuda_raster_spark import oracle_corpus as oc
+    from pycuda_raster_spark.operators.similarity import (
+        ivf_assign,
+        ivf_topk,
+        seeded_centroids,
+        train_centroids,
+    )
+
+    _register(spark, sf_dir)
+    _corpus_dir()  # materialize the seeded codebook for the oracle side
+    emb = spark.table("embeddings")
+    cents = train_centroids(
+        emb, seeded_centroids(oc.EMB_DIM, oc.N_CENTROIDS, seed=oc.SEED),
+        iterations=2)
+    queries = emb.filter(F.col("vec_id") < oc.ANN_QUERIES)
+    return ivf_topk(ivf_assign(emb, cents), queries, cents, k=oc.ANN_K,
+                    nprobe=oc.NPROBE).select("query_id", "vec_id", "rank")
+
+
 def _q_ivf_ann_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """join-based IVF ANN (queries stay a DataFrame — the corpus-scale
     query-table path). Same codebook/nprobe as q_ivf_ann, identical
@@ -870,6 +909,44 @@ def _r_resample_bilinear(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# dest-grid constants for r_warp_affine — binary-fraction multiples of the
+# corpus cellsize so BOTH engines derive identical doubles from the same
+# table values (engine: Python float math; oracle: DOUBLE SQL, same order)
+WARP_OUT = 24
+WARP_DCELL_MULT = 1.5
+WARP_DX_MULT = -2.5
+WARP_DY_MULT = 3.25
+
+
+def _r_warp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Axis-aligned affine warp (regrid) of every 32x32 corpus image onto a
+    shifted, coarser 24x24 destination grid — bilinear, with out-of-extent
+    destination pixels NODATA (rows beyond the top edge, columns before the
+    left edge at these offsets). The fixed op order (operators/warp._pos)
+    + float32 cast makes the oracle value-EXACT, including NODATA poison."""
+    from pycuda_raster_spark.fixtures import image_cellsize
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.warp import warp_affine_tiles
+    from pycuda_raster_spark import oracle_corpus as oc
+
+    images, _, _ = _corpus(spark)
+    cs0 = image_cellsize(oc.GEO_SPEC)
+    out = warp_affine_tiles(
+        decode_tiles(images, tile_rows=8), WARP_OUT, WARP_OUT,
+        cs0 * WARP_DCELL_MULT, dx_off=cs0 * WARP_DX_MULT,
+        dy_off=cs0 * WARP_DY_MULT, method="bilinear")
+    ow = WARP_OUT
+    return out.select(
+        "image_id", "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(ow))) / ow)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(ow)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
 def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary-payload feature extraction (multimodal plumbing). Output
     keeps the ORDER-INDEPENDENT stats (min/max of decoded pixels) so the
@@ -967,6 +1044,41 @@ def _jaccard_pairs_sql(shingles_cte: str, threshold: float) -> str:
                round({inter} / {union}, 6) AS jaccard
         FROM sh a, sh b
         WHERE a.doc_id < b.doc_id AND {inter} / {union} >= {threshold}
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """q_lang_id oracle, generated from the SAME profiles the engine uses
+    (operators/text.LANG_STOPWORDS) — one definition, two engines."""
+    from pycuda_raster_spark.operators.text import LANG_STOPWORDS
+
+    rate_exprs = []
+    for lang, words in LANG_STOPWORDS.items():
+        wl = ", ".join(f"'{w}'" for w in words)
+        rate_exprs.append(
+            f"CAST(len(list_filter(toks, x -> x IN ({wl}))) AS DOUBLE)"
+            f" / greatest(len(toks), 1) AS rate_{lang}")
+    rates = ",\n                   ".join(rate_exprs)
+    cols = list(LANG_STOPWORDS)
+    best = "greatest(" + ", ".join(f"rate_{c}" for c in cols) + ")"
+    case = f"CASE WHEN {best} < CAST(0.05 AS DOUBLE) THEN 'unk'"
+    for c in cols[:-1]:
+        case += f" WHEN rate_{c} = {best} THEN '{c}'"
+    case += f" ELSE '{cols[-1]}' END"
+    return f"""
+        WITH t AS (
+            SELECT doc_id,
+                   regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+            FROM documents
+        ),
+        r AS (
+            SELECT doc_id,
+                   {rates}
+            FROM t
+        )
+        SELECT doc_id, {case} AS lang_pred,
+               rate_en, rate_de, rate_fr, rate_es
+        FROM r
     """
 
 
@@ -1411,6 +1523,77 @@ def _corpus_oracles() -> dict[str, str]:
         FROM alltiles t LEFT JOIN hits h USING (image_id, tile_y)
     """
 
+    # affine-warp oracle: per-image sample positions re-derived in DOUBLE
+    # with the EXACT op order of operators/warp._pos (plain + - * / are
+    # correctly rounded -> same operand order == same doubles in both
+    # engines); floor/frac split, bilinear fold in the resample order,
+    # float32 cast, NODATA poison on nonzero-weight corners, and
+    # out-of-extent destination pixels (pos outside [0, 31]) -> NODATA.
+    # Literals are binary fractions (1.5/-2.5/3.25/0.5) so the DECIMAL
+    # parse -> DOUBLE cast is exact.
+    _wm = (f"(g.cellsize * CAST({WARP_DCELL_MULT} AS DOUBLE))")
+    _rpos = (f"((g.y0 + g.cellsize * CAST({WARP_DY_MULT} AS DOUBLE))"
+             f" + (CAST(t.v AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {_wm}"
+             f" - g.y0) / g.cellsize - CAST(0.5 AS DOUBLE)")
+    _cpos = (f"((g.x0 + g.cellsize * CAST({WARP_DX_MULT} AS DOUBLE))"
+             f" + (CAST(t.v AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {_wm}"
+             f" - g.x0) / g.cellsize - CAST(0.5 AS DOUBLE)")
+    warp = f"""
+        WITH geo AS (SELECT image_id, x0, y0, cellsize FROM {images}),
+        rp AS (
+            SELECT g.image_id, CAST(t.v AS INT) AS ro, {_rpos} AS p
+            FROM geo g, unnest(generate_series(0, {WARP_OUT - 1})) AS t(v)
+        ),
+        cp AS (
+            SELECT g.image_id, CAST(t.v AS INT) AS co, {_cpos} AS p
+            FROM geo g, unnest(generate_series(0, {WARP_OUT - 1})) AS t(v)
+        ),
+        r2 AS (
+            SELECT image_id, ro, CAST(floor(p) AS BIGINT) AS r0,
+                   p - floor(p) AS fr,
+                   (p >= CAST(0 AS DOUBLE) AND p <= CAST(31 AS DOUBLE)) AS ok
+            FROM rp
+        ),
+        c2 AS (
+            SELECT image_id, co, CAST(floor(p) AS BIGINT) AS c0,
+                   p - floor(p) AS fc,
+                   (p >= CAST(0 AS DOUBLE) AND p <= CAST(31 AS DOUBLE)) AS ok
+            FROM cp
+        ),
+        v AS (
+            SELECT r2.image_id, r2.ro, c2.co,
+                   r2.r0, LEAST(r2.r0 + 1, 31) AS r1, r2.fr,
+                   c2.c0, LEAST(c2.c0 + 1, 31) AS c1, c2.fc
+            FROM r2 JOIN c2 USING (image_id)
+            WHERE r2.ok AND c2.ok
+        ),
+        j AS (
+            SELECT v.image_id, v.ro, v.co, v.fr, v.fc,
+                   CAST(p00.val AS DOUBLE) AS v00, CAST(p01.val AS DOUBLE) AS v01,
+                   CAST(p10.val AS DOUBLE) AS v10, CAST(p11.val AS DOUBLE) AS v11
+            FROM v
+            JOIN {pixels} p00 ON p00.image_id = v.image_id AND p00.r = v.r0 AND p00.c = v.c0
+            JOIN {pixels} p01 ON p01.image_id = v.image_id AND p01.r = v.r0 AND p01.c = v.c1
+            JOIN {pixels} p10 ON p10.image_id = v.image_id AND p10.r = v.r1 AND p10.c = v.c0
+            JOIN {pixels} p11 ON p11.image_id = v.image_id AND p11.r = v.r1 AND p11.c = v.c1
+        )
+        SELECT image_id, ro AS r, co AS c,
+               CASE WHEN (v00 = CAST(-9999 AS DOUBLE) AND (1 - fr) * (1 - fc) > CAST(0 AS DOUBLE))
+                      OR (v01 = CAST(-9999 AS DOUBLE) AND (1 - fr) * fc > CAST(0 AS DOUBLE))
+                      OR (v10 = CAST(-9999 AS DOUBLE) AND fr * (1 - fc) > CAST(0 AS DOUBLE))
+                      OR (v11 = CAST(-9999 AS DOUBLE) AND fr * fc > CAST(0 AS DOUBLE))
+                    THEN CAST(-9999 AS DOUBLE)
+                    ELSE CAST(CAST((v00 * (1 - fc) + v01 * fc) * (1 - fr)
+                                   + (v10 * (1 - fc) + v11 * fc) * fr
+                              AS FLOAT) AS DOUBLE)
+               END AS val
+        FROM j
+        UNION ALL
+        SELECT r2.image_id, r2.ro AS r, c2.co AS c, CAST(-9999 AS DOUBLE) AS val
+        FROM r2 JOIN c2 USING (image_id)
+        WHERE NOT (r2.ok AND c2.ok)
+    """
+
     multimodal = f"""
         SELECT i.image_id, i.fmt,
                min(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS min_px,
@@ -1532,6 +1715,87 @@ def _corpus_oracles() -> dict[str, str]:
         ) WHERE rank <= {oc.ANN_K}
     """
 
+    # trained-IVF replay: two Lloyd iterations in SQL from the same seeded
+    # codebook — assign = argmax fold-dot (ties to lowest cid, matching
+    # the engine's stable argsort), new centroid = per-dimension mean of
+    # member UNIT vectors with the DECIMAL(30,15)-exact sum the engine
+    # uses (operators/similarity.train_centroids); empty clusters keep
+    # the previous centroid. Then the standard assign/probe/rank replay
+    # against the trained codebook; ranks-only output.
+    def _lloyd_iter(cin: str, tag: str) -> str:
+        udot = _dot_sql("u.ul", "c.vec")
+        return f"""
+        assign_{tag} AS (
+            SELECT vec_id, cid AS bucket FROM (
+                SELECT u.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY u.vec_id
+                                          ORDER BY {udot} DESC, c.cid) AS rn
+                FROM unit u, {cin} c
+            ) WHERE rn = 1
+        ),
+        sums_{tag} AS (
+            SELECT a.bucket, t.i AS pos,
+                   CAST(SUM(CAST(u.ul[t.i + 1] AS DECIMAL(30,15))) AS DOUBLE)
+                     / CAST(COUNT(*) AS DOUBLE) AS m
+            FROM assign_{tag} a
+            JOIN unit u USING (vec_id),
+                 unnest(generate_series(0, {oc.EMB_DIM - 1})) AS t(i)
+            GROUP BY a.bucket, t.i
+        ),
+        cent_{tag} AS (
+            SELECT c.cid, COALESCE(s.vec, c.vec) AS vec
+            FROM {cin} c LEFT JOIN (
+                SELECT bucket AS cid, list(m ORDER BY pos) AS vec
+                FROM sums_{tag} GROUP BY bucket) s ON s.cid = c.cid
+        )"""
+
+    e_norm = f"sqrt({_dot_sql('e.embedding', 'e.embedding')})"
+    ivf_trained = f"""
+        WITH e AS (SELECT vec_id, embedding FROM embeddings),
+        nrm AS (SELECT e.vec_id, {e_norm} AS n FROM e),
+        unit AS (
+            SELECT e.vec_id,
+                   list_transform(e.embedding,
+                       x -> CAST(x AS DOUBLE) /
+                            (CASE WHEN nn.n > CAST(0 AS DOUBLE)
+                                  THEN nn.n ELSE CAST(1 AS DOUBLE) END)) AS ul
+            FROM e JOIN nrm nn USING (vec_id)
+        ),
+        {_lloyd_iter(cents, 'i1')},
+        {_lloyd_iter('cent_i1', 'i2')},
+        assign AS (
+            SELECT vec_id, cid AS bucket FROM (
+                SELECT e.vec_id, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                                          ORDER BY {edot} DESC, c.cid) AS rn
+                FROM e, cent_i2 c
+            ) WHERE rn = 1
+        ),
+        q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+              WHERE vec_id < {oc.ANN_QUERIES}),
+        probe AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, c.cid,
+                       ROW_NUMBER() OVER (PARTITION BY q.qid
+                                          ORDER BY {qdot} DESC, c.cid) AS rn
+                FROM q, cent_i2 c
+            ) WHERE rn <= {oc.NPROBE}
+        ),
+        scored AS (
+            SELECT q.qid AS query_id, e.vec_id, {cand_cos} AS cos
+            FROM probe p
+            JOIN assign a ON a.bucket = p.cid
+            JOIN e ON e.vec_id = a.vec_id
+            JOIN q ON q.qid = p.qid
+        )
+        SELECT query_id, vec_id, rank FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                                      ORDER BY cos DESC, vec_id) AS rank
+            FROM scored
+        ) WHERE rank <= {oc.ANN_K}
+    """
+
     return {
         "r_flagship_zonal": zonal,
         "r_focal_slope": slope,
@@ -1550,6 +1814,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_phash_clusters": phash_cc,
         "r_resample_nearest": resample_n,
         "r_resample_bilinear": resample_b,
+        "r_warp_affine": warp,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
@@ -1598,6 +1863,7 @@ def _corpus_oracles() -> dict[str, str]:
         "q_cosine_pairs_lsh_dual": cosine,
         "q_ivf_ann": ivf,
         "q_ivf_ann_join": ivf,
+        "q_ivf_ann_trained": ivf_trained,
     }
 
 
@@ -1624,6 +1890,46 @@ def _shared(name: str):
     return run
 
 
+# Contract ordering. CORRECTNESS_r03 recorded exactly the first 50 entries
+# of queries() in dict order — the driver caps its per-round comparison at
+# 50 rows. Round 3 left the three *_lsh_dual value-exact oracles (and the
+# rows-only tail) beyond the cap, so their green status never reached the
+# driver artifact (VERDICT r3 #1). The contract is therefore ordered
+# explicitly: the first 50 names are ALL fully oracled (including the three
+# dual-banding LSH self-checks and the round-4 additions), then the
+# remaining oracled queries (still verified every round by
+# tools/check_oracles.py, which runs the FULL surface), then the
+# rows-only-by-design tail.
+CONTRACT_ORDER = [
+    # --- driver window: 50 fully-oracled queries -------------------------
+    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+    "q_window_topk", "q_running_sum", "q_rollup", "q_histogram",
+    "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
+    "q_salted_agg", "q_skew_join", "q_distinct_percentile", "q_pivot",
+    "q_text_stats", "q_lang_id", "q_embedding_stats", "q_ann_topk_join",
+    "q_minhash_pairs", "q_minhash_pairs_lsh_dual",
+    "q_ngram_pairs", "q_ngram_pairs_lsh_dual",
+    "q_cosine_pairs", "q_cosine_pairs_lsh_dual",
+    "q_dedup_clusters", "q_pack_shards", "q_contamination",
+    "q_quality_filter", "q_ivf_ann", "q_ivf_ann_join", "q_ivf_ann_trained",
+    "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
+    "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
+    "r_hillshade_md", "r_color_relief", "r_pip_join", "r_knn_join",
+    "r_knn_tiles", "r_range_join", "r_phash_dedup", "r_rasterize",
+    "r_phash_clusters", "r_resample_bilinear", "r_warp_affine",
+    "r_multimodal_features",
+    # --- oracled overflow (beyond the driver's 50-row cap; exercised by
+    # --- tools/check_oracles.py every round) -----------------------------
+    "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
+    "r_resample_nearest",
+    # --- rows-only by design (approx aggs, Spark-only hash family, and
+    # --- the probabilistic banded-LSH scale paths whose exactness is
+    # --- pinned by the *_dual oracles + tests) ---------------------------
+    "q_approx_stats", "q_simhash", "q_minhash_pairs_lsh",
+    "q_ngram_pairs_lsh", "q_cosine_pairs_lsh",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     q: dict[str, Callable[[SparkSession, str], DataFrame]] = {
         name: _shared(name) for name in SHARED_SQL
@@ -1637,6 +1943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_distinct_percentile": _q_distinct_percentile,
             "q_pivot": _q_pivot,
             "q_text_stats": _q_text_stats,
+            "q_lang_id": _q_lang_id,
             "q_embedding_stats": _q_embedding_stats,
             "q_ann_topk": _q_ann_topk,
             "q_ann_topk_join": _q_ann_topk_join,
@@ -1650,6 +1957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_cosine_pairs": _q_cosine_pairs,
             "q_ivf_ann": _q_ivf_ann,
             "q_ivf_ann_join": _q_ivf_ann_join,
+            "q_ivf_ann_trained": _q_ivf_ann_trained,
             "r_flagship_zonal": _r_flagship_zonal,
             "r_focal_slope": _r_focal_slope,
             "r_focal_aspect": _r_focal_aspect,
@@ -1667,6 +1975,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_phash_clusters": _r_phash_clusters,
             "r_resample_nearest": _r_resample_nearest,
             "r_resample_bilinear": _r_resample_bilinear,
+            "r_warp_affine": _r_warp_affine,
             "r_multimodal_features": _r_multimodal_features,
             # rows-only: engine-specific approximation (approx aggs), a
             # Spark-only hash family (xxhash64 simhash), and the banded-LSH
@@ -1685,7 +1994,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_cosine_pairs_lsh_dual": _q_cosine_pairs_lsh_dual,
         }
     )
-    return q
+    assert set(CONTRACT_ORDER) == set(q), (
+        sorted(set(CONTRACT_ORDER) ^ set(q)))
+    return {name: q[name] for name in CONTRACT_ORDER}
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1808,6 +2119,7 @@ def oracle_sql() -> dict[str, str]:
                 WHERE s.n_tokens >= th.lo AND s.n_tokens <= th.hi
                   AND s.score >= th.qmin
             """,
+            "q_lang_id": _lang_id_oracle_sql(),
             "q_embedding_stats": """
                 SELECT label, vec_id, len(embedding) AS dim,
                        round(list_aggregate(list_transform(embedding,

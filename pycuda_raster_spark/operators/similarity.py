@@ -89,6 +89,62 @@ def seeded_centroids(dim: int, n_centroids: int, seed: int = 42) -> np.ndarray:
     return _normalize(rng.standard_normal((n_centroids, dim)))
 
 
+def train_centroids(
+    corpus: DataFrame,
+    init: np.ndarray,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement of an IVF codebook (VERDICT r3 #7):
+    seeded random hyperplanes are parity-fine but recall-suboptimal — one
+    or two k-means iterations adapt the buckets to the data.
+
+    Per iteration: (a) assign every vector to its argmax-dot centroid
+    (``ivf_assign`` — batched NumPy matmul, one pass); (b) the new
+    centroid is the per-dimension MEAN of its members' unit vectors.
+    Determinism recipe (CLAUDE.md): unit components are built with JVM
+    fold arithmetic, quantized to DECIMAL(30,15) and summed exactly —
+    partition-invariant AND replayable in SQL by the DuckDB oracle, so the
+    trained codebook is reproducible bit-for-bit across engines/retries
+    (centroids are NOT re-normalized: the assignment rule IS argmax dot
+    against the mean vector, one less cross-engine float hazard; bucket
+    geometry is what matters, not centroid norm). Empty clusters keep
+    their previous centroid. The driver sees n_centroids x dim tiny rows
+    per iteration — safe at any corpus scale."""
+    cents = np.asarray(init, dtype=np.float64).copy()
+    n_cent, dim = cents.shape
+    norm = F.sqrt(F.aggregate(
+        F.transform(F.col(vec_col), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, v: acc + v))
+    unit = F.transform(
+        F.col(vec_col),
+        lambda x: x.cast("double") / F.when(norm > 0.0, norm).otherwise(F.lit(1.0)))
+    for _ in range(iterations):
+        assigned = ivf_assign(corpus, cents, id_col, vec_col)
+        sums = (
+            assigned.withColumn("__u", unit)
+            .select("bucket", F.posexplode("__u").alias("pos", "v"))
+            .groupBy("bucket", "pos")
+            .agg(F.sum(F.col("v").cast("decimal(30,15)")).alias("s"),
+                 F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        cnt: dict[int, int] = {}
+        for r in sums:
+            b = int(r["bucket"])
+            if b not in acc:
+                acc[b] = np.zeros(dim)
+                cnt[b] = int(r["n"])
+            acc[b][int(r["pos"])] = float(r["s"]) / float(r["n"])
+        for b, vec in acc.items():
+            new[b] = vec
+        cents = new
+    return cents
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: np.ndarray,

@@ -21,6 +21,17 @@ from pyspark.sql import functions as F
 # inline into both Spark and DuckDB SQL
 EN_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
 
+# multilingual function-word profiles (VERDICT r3 #8): the highest hit rate
+# wins (ties -> earlier language in this dict's order), 'unk' below the
+# threshold. Pure JVM set-membership counting — same shape as the English
+# heuristic, and each profile inlines into the DuckDB oracle unchanged.
+LANG_STOPWORDS = {
+    "en": EN_STOPWORDS,
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "zu", "den"],
+    "fr": ["le", "la", "les", "et", "est", "pas", "pour", "que", "une", "dans"],
+    "es": ["el", "los", "las", "es", "no", "con", "una", "para", "por", "como"],
+}
+
 
 def _tokens(text_col):
     return F.split(F.lower(F.trim(text_col)), r"\s+")
@@ -78,6 +89,35 @@ def with_lang_id(df: DataFrame, text_col: str = "text", threshold: float = 0.05)
     return df.withColumn(
         "lang_pred", F.when(rate >= threshold, F.lit("en")).otherwise(F.lit("unk"))
     )
+
+
+def with_lang_id_multi(df: DataFrame, text_col: str = "text",
+                       threshold: float = 0.05) -> DataFrame:
+    """Multilingual language ID over the ``LANG_STOPWORDS`` profiles:
+    per-language function-word hit rates (``rate_<lang>`` columns) and
+    ``lang_pred`` = argmax rate (ties -> earlier profile; 'unk' when the
+    best rate is below ``threshold``). All rates are exact small-integer
+    ratios, so the DuckDB oracle reproduces every double bit-for-bit; the
+    argmax is expressed as greatest + equality CASE so both engines share
+    one tie-break definition. Still zero UDFs — codegen end to end."""
+    toks = _tokens(F.col(text_col))
+    n_tok = F.greatest(F.size(toks), F.lit(1))
+    out = df
+    rates = []
+    def member_of(words):
+        # NOTE: a `lambda t, w=words:` default would NOT work here —
+        # F.filter treats a second lambda parameter as the array INDEX
+        return lambda t: t.isin(words)
+
+    for lang, words in LANG_STOPWORDS.items():
+        r = F.size(F.filter(toks, member_of(words))).cast("double") / n_tok
+        out = out.withColumn(f"rate_{lang}", r)
+        rates.append(f"rate_{lang}")
+    best = F.greatest(*[F.col(c) for c in rates])
+    pred = F.when(best < F.lit(float(threshold)), F.lit("unk"))
+    for lang in LANG_STOPWORDS:
+        pred = pred.when(F.col(f"rate_{lang}") == best, F.lit(lang))
+    return out.withColumn("lang_pred", pred)
 
 
 def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:

