@@ -19,6 +19,13 @@ every DEM to H rows x W cols first (--resample-method=nearest|bilinear,
 default bilinear), then compute the products on the resampled grid via
 the halo-exchange path. Product tiles are written as array<float> in
 this mode (the default fused mode writes packed f32 binary blobs).
+
+--warp=HxW (gdalwarp-style regrid, r4): warp every DEM onto an
+H-rows x W-cols destination grid with --warp-dcell=<cellsize> (default:
+source cellsize), origin shifted by --warp-offset=DX,DY (default 0,0),
+--warp-method=nearest|bilinear (default bilinear). Out-of-extent
+destination pixels are NODATA. Composes with the same product list as
+--resample (mutually exclusive with it).
 """
 
 from __future__ import annotations
@@ -37,7 +44,11 @@ def main(argv: list[str]) -> int:
     from .operators.focal import ALL_PRODUCTS, decode_focal_arrow as decode_focal
 
     resample = opts.get("resample")
-    allowed = ALL_PRODUCTS + (("dem",) if resample else ())
+    warp = opts.get("warp")
+    if resample and warp:
+        print("--resample and --warp are mutually exclusive")
+        return 2
+    allowed = ALL_PRODUCTS + (("dem",) if (resample or warp) else ())
     bad = set(products) - set(allowed)
     if bad:
         print(f"unknown products: {sorted(bad)}; available: {allowed}")
@@ -58,9 +69,35 @@ def main(argv: list[str]) -> int:
 
     tile_rows = int(opts.get("tile-rows", 64))
     if resample:
+        from .operators.resample import resample_tiles
+
         out_h, out_w = (int(x) for x in resample.lower().split("x"))
-        _run_resampled(spark, images, pairs, products, tile_rows, out_h,
-                       out_w, opts.get("resample-method", "bilinear"))
+        method = opts.get("resample-method", "bilinear")
+        _run_regridded(
+            spark, images, pairs, products, tile_rows,
+            lambda tiles: resample_tiles(tiles, out_h, out_w, method=method,
+                                         out_tile_rows=tile_rows),
+            f"{out_h}x{out_w} {method}")
+        return 0
+    if warp:
+        out_h, out_w = (int(x) for x in warp.lower().split("x"))
+        dcell = opts.get("warp-dcell")
+        dx, dy = (float(v) for v in opts.get("warp-offset", "0,0").split(","))
+        method = opts.get("warp-method", "bilinear")
+
+        def regrid(tiles):
+            from pyspark.sql import functions as F
+
+            from .operators.warp import warp_affine_tiles
+
+            dc = float(dcell) if dcell is not None else float(
+                tiles.select(F.min("cellsize")).first()[0])
+            return warp_affine_tiles(tiles, out_h, out_w, dc, dx_off=dx,
+                                     dy_off=dy, method=method,
+                                     out_tile_rows=tile_rows)
+
+        _run_regridded(spark, images, pairs, products, tile_rows,
+                       regrid, f"warp {out_h}x{out_w} {method}")
         return 0
     fused = decode_focal(images, tile_rows=tile_rows, products=products,
                          partitions=spark.sparkContext.defaultParallelism * 2)
@@ -74,10 +111,10 @@ def main(argv: list[str]) -> int:
     return 0
 
 
-def _run_resampled(spark, images, pairs, products, tile_rows, out_h, out_w,
-                   method):
-    """decode -> resample -> halo exchange -> products (the composable
-    path; products on the RESAMPLED grid, like gdal_translate | gdaldem)."""
+def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
+    """decode -> regrid (resample or affine warp) -> halo exchange ->
+    products (the composable path; products on the REGRIDDED grid, like
+    gdal_translate/gdalwarp | gdaldem)."""
     from pyspark.sql import functions as F
 
     from .operators.decode import decode_tiles
@@ -87,14 +124,11 @@ def _run_resampled(spark, images, pairs, products, tile_rows, out_h, out_w,
         focal_products,
         terrain_tiles,
     )
-    from .operators.resample import resample_tiles
     from .operators.tiling import halo_exchange
 
-    tiles = resample_tiles(
-        decode_tiles(images, tile_rows=tile_rows), out_h, out_w,
-        method=method, out_tile_rows=tile_rows,
-    ).withColumn("caption", F.lit(None).cast("string")) \
-     .withColumn("psnr", F.lit(float("inf")))
+    tiles = regrid(decode_tiles(images, tile_rows=tile_rows)) \
+        .withColumn("caption", F.lit(None).cast("string")) \
+        .withColumn("psnr", F.lit(float("inf")))
     tiles = halo_exchange(tiles).cache()
     keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
             "y0", "crs"]
@@ -107,7 +141,7 @@ def _run_resampled(spark, images, pairs, products, tile_rows, out_h, out_w,
         col = "px" if func == "dem" else func
         src.select(*keep, F.col(col).alias(func)).write.mode(
             "overwrite").parquet(out)
-        print(f"wrote {func} tiles ({out_h}x{out_w} {method}) -> {out}")
+        print(f"wrote {func} tiles ({label}) -> {out}")
     for df in (tiles, horn, terr):
         if df is not None:
             df.unpersist()

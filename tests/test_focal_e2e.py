@@ -238,6 +238,40 @@ def test_cli_resample_then_products(spark, images_df, tmp_path):
         np.testing.assert_array_equal(got, want, err_msg=func)
 
 
+def test_cli_warp_then_products(spark, images_df, tmp_path):
+    """--warp=HxW: dem + slope computed on the WARPED grid (the
+    gdalwarp | gdaldem composition) match the NumPy warp->Horn chain,
+    including the shifted origin and explicit destination cellsize."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.functions.codecs import decode
+    from pycuda_raster_spark.functions.focal_kernels import horn_products
+    from pycuda_raster_spark.operators.warp import warp_affine_grid
+
+    src = tmp_path / "images"
+    images_df.write.parquet(str(src))
+    argv = [str(src), str(tmp_path / "dem"), "dem",
+            str(tmp_path / "slope"), "slope",
+            "--warp=20x24", "--warp-dcell=1.5", "--warp-offset=-2.0,3.0",
+            "--warp-method=bilinear", "--tile-rows=8"]
+    assert main(argv) == 0
+
+    img = images_df.first()
+    g = warp_affine_grid(decode(bytes(img.bytes), img.fmt, img.w, img.h),
+                         20, 24, 1.5, cellsize=1.0, dx_off=-2.0, dy_off=3.0,
+                         method="bilinear")
+    want_slope, _, _ = horn_products(g, 1.5)
+
+    for func, want in (("dem", g), ("slope", want_slope)):
+        rows = [r for r in spark.read.parquet(str(tmp_path / func)).collect()
+                if r.image_id == img.image_id]
+        rows.sort(key=lambda r: r.ty0)
+        assert rows[0].cellsize == 1.5
+        assert rows[0].x0 == -2.0 and rows[0].y0 == 3.0
+        got = np.vstack([np.asarray(r[func], np.float32).reshape(r.th, r.w)
+                         for r in rows])
+        np.testing.assert_array_equal(got, want, err_msg=func)
+
+
 def test_halo_exchange_equals_fused(spark, images_df):
     fused = decode_tiles(images_df, tile_rows=16)
     exchanged = halo_exchange(strip_halos(fused))
