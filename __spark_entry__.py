@@ -917,6 +917,14 @@ WARP_DCELL_MULT = 1.5
 WARP_DX_MULT = -2.5
 WARP_DY_MULT = 3.25
 
+# canvas constants for r_mosaic (same binary-fraction recipe; the canvas
+# deliberately over-hangs the 4x4 corpus layout so out-of-extent NODATA
+# and per-image validity are both exercised)
+MOSAIC_OUT = 40
+MOSAIC_DCELL_MULT = 3.25
+MOSAIC_X0_MULT = -2.5
+MOSAIC_Y0_MULT = 1.5
+
 
 def _r_warp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Axis-aligned affine warp (regrid) of every 32x32 corpus image onto a
@@ -940,6 +948,35 @@ def _r_warp_affine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "ty0", F.posexplode("px").alias("pos", "v")
     ).select(
         "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(ow))) / ow)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(ow)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
+def _r_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mosaic (gdal_merge parity): all 16 corpus images composed onto ONE
+    shared over-hanging canvas (nearest, rule='first' = lowest image_id's
+    non-NODATA value wins). Nearest is value passthrough and positions
+    are fixed-op-order doubles, so the oracle re-derives every canvas
+    pixel from the ground-truth pixel table value-exactly, including the
+    out-of-extent NODATA fringe."""
+    from pycuda_raster_spark.fixtures import image_cellsize
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.mosaic import mosaic_tiles
+    from pycuda_raster_spark import oracle_corpus as oc
+
+    images, _, _ = _corpus(spark)
+    cs0 = image_cellsize(oc.GEO_SPEC)
+    out = mosaic_tiles(
+        decode_tiles(images, tile_rows=8), MOSAIC_OUT, MOSAIC_OUT,
+        cs0 * MOSAIC_DCELL_MULT, cs0 * MOSAIC_X0_MULT, cs0 * MOSAIC_Y0_MULT,
+        method="nearest", rule="first")
+    ow = MOSAIC_OUT
+    return out.select(
+        "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
         (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(ow))) / ow)
          ).cast("int").alias("r"),
         F.pmod("pos", F.lit(ow)).cast("int").alias("c"),
@@ -1594,6 +1631,56 @@ def _corpus_oracles() -> dict[str, str]:
         WHERE NOT (r2.ok AND c2.ok)
     """
 
+    # mosaic oracle: per-image nearest positions on the SHARED canvas
+    # (absolute origin — same fixed op order as warp._pos with
+    # d0 = cellsize * X0_mult), validity = nearest index in range, then
+    # rule 'first' = lowest image_id's non-NODATA value, NODATA fringe
+    # where no image contributes
+    _mz = (f"(g.cellsize * CAST({MOSAIC_DCELL_MULT} AS DOUBLE))")
+    _mrp = (f"((g.cellsize * CAST({MOSAIC_Y0_MULT} AS DOUBLE))"
+            f" + (CAST(t.v AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {_mz}"
+            f" - g.y0) / g.cellsize - CAST(0.5 AS DOUBLE)")
+    _mcp = (f"((g.cellsize * CAST({MOSAIC_X0_MULT} AS DOUBLE))"
+            f" + (CAST(t.v AS DOUBLE) + CAST(0.5 AS DOUBLE)) * {_mz}"
+            f" - g.x0) / g.cellsize - CAST(0.5 AS DOUBLE)")
+    mosaic = f"""
+        WITH geo AS (SELECT image_id, x0, y0, cellsize FROM {images}),
+        mrp AS (
+            SELECT g.image_id, CAST(t.v AS INT) AS ro,
+                   CAST(floor({_mrp} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sr
+            FROM geo g, unnest(generate_series(0, {MOSAIC_OUT - 1})) AS t(v)
+        ),
+        mcp AS (
+            SELECT g.image_id, CAST(t.v AS INT) AS co,
+                   CAST(floor({_mcp} + CAST(0.5 AS DOUBLE)) AS BIGINT) AS sc
+            FROM geo g, unnest(generate_series(0, {MOSAIC_OUT - 1})) AS t(v)
+        ),
+        cand AS (
+            SELECT r.ro, c.co, r.image_id, CAST(p.val AS DOUBLE) AS val
+            FROM mrp r
+            JOIN mcp c USING (image_id)
+            JOIN {pixels} p ON p.image_id = r.image_id
+                           AND p.r = r.sr AND p.c = c.sc
+            WHERE r.sr BETWEEN 0 AND 31 AND c.sc BETWEEN 0 AND 31
+              AND p.val <> CAST(-9999 AS FLOAT)
+        ),
+        pick AS (
+            SELECT ro, co, val,
+                   ROW_NUMBER() OVER (PARTITION BY ro, co
+                                      ORDER BY image_id) AS rn
+            FROM cand
+        ),
+        grid AS (
+            SELECT CAST(r.v AS INT) AS ro, CAST(c.v AS INT) AS co
+            FROM unnest(generate_series(0, {MOSAIC_OUT - 1})) AS r(v),
+                 unnest(generate_series(0, {MOSAIC_OUT - 1})) AS c(v)
+        )
+        SELECT grid.ro AS r, grid.co AS c,
+               COALESCE(p.val, CAST(-9999 AS DOUBLE)) AS val
+        FROM grid LEFT JOIN (SELECT * FROM pick WHERE rn = 1) p
+          ON p.ro = grid.ro AND p.co = grid.co
+    """
+
     multimodal = f"""
         SELECT i.image_id, i.fmt,
                min(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS min_px,
@@ -1815,6 +1902,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_resample_nearest": resample_n,
         "r_resample_bilinear": resample_b,
         "r_warp_affine": warp,
+        "r_mosaic": mosaic,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
@@ -1915,13 +2003,13 @@ CONTRACT_ORDER = [
     "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
     "r_hillshade_md", "r_color_relief", "r_pip_join", "r_knn_join",
-    "r_knn_tiles", "r_range_join", "r_phash_dedup", "r_rasterize",
-    "r_phash_clusters", "r_resample_bilinear", "r_warp_affine",
+    "r_range_join", "r_phash_dedup", "r_rasterize",
+    "r_phash_clusters", "r_resample_bilinear", "r_warp_affine", "r_mosaic",
     "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round) -----------------------------
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
-    "r_resample_nearest",
+    "r_resample_nearest", "r_knn_tiles",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
     # --- the probabilistic banded-LSH scale paths whose exactness is
     # --- pinned by the *_dual oracles + tests) ---------------------------
@@ -1976,6 +2064,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_resample_nearest": _r_resample_nearest,
             "r_resample_bilinear": _r_resample_bilinear,
             "r_warp_affine": _r_warp_affine,
+            "r_mosaic": _r_mosaic,
             "r_multimodal_features": _r_multimodal_features,
             # rows-only: engine-specific approximation (approx aggs), a
             # Spark-only hash family (xxhash64 simhash), and the banded-LSH

@@ -67,12 +67,17 @@ def warp_affine_tiles(
     dest_crs: str | None = None,
     out_tile_rows: int = 8,
     nodata: float = NODATA,
+    absolute_origin: bool = False,
 ) -> DataFrame:
-    """Warp every image onto a per-image destination grid of
-    ``out_h x out_w`` cells of size ``dcell``, origin at the image's own
-    origin shifted by ``(dx_off, dy_off)``. ``affine = (sx, tx, sy, ty)``
-    maps destination world coords into the source frame (sx, sy > 0).
-    ``dest_crs`` relabels the output CRS (axis-aligned EPSG subset)."""
+    """Warp every image onto a destination grid of ``out_h x out_w``
+    cells of size ``dcell``. By default the grid's origin is PER-IMAGE:
+    the image's own origin shifted by ``(dx_off, dy_off)``. With
+    ``absolute_origin=True``, ``(dx_off, dy_off)`` IS the destination
+    origin in world coordinates — ONE shared grid for every image, the
+    prerequisite for mosaicking (operators/mosaic.py). ``affine =
+    (sx, tx, sy, ty)`` maps destination world coords into the source
+    frame (sx, sy > 0). ``dest_crs`` relabels the output CRS
+    (axis-aligned EPSG subset)."""
     if method not in ("nearest", "bilinear"):
         raise ValueError(f"unsupported method {method} (nearest/bilinear)")
     if out_h < 1 or out_w < 1 or dcell <= 0:
@@ -97,8 +102,10 @@ def warp_affine_tiles(
     R0 = o * tr
     R1 = F.least(o * tr + tr, F.lit(float(out_h))) - 1.0
 
+    dy0_expr = F.lit(dy_off) if absolute_origin else y0 + F.lit(dy_off)
+
     def pr(R):
-        yd = y0 + F.lit(dy_off) + (R + 0.5) * F.lit(dcell)
+        yd = dy0_expr + (R + 0.5) * F.lit(dcell)
         return (F.lit(sy) * yd + F.lit(ty) - y0) / cs - 0.5
 
     pad = 1.0 if bilinear else 0.5
@@ -115,7 +122,7 @@ def warp_affine_tiles(
     def R_of(src_row):
         ys = y0 + (src_row + 0.5) * cs
         yd = (ys - F.lit(ty)) / F.lit(sy)
-        return (yd - y0 - F.lit(dy_off)) / F.lit(dcell) - 0.5
+        return (yd - dy0_expr) / F.lit(dcell) - 0.5
 
     o_first = F.greatest(
         F.lit(0).cast("long"),
@@ -177,10 +184,12 @@ def warp_affine_tiles(
         o_ty = int(first.out_ty)
         r0, r1 = o_ty * tr, min((o_ty + 1) * tr, out_h) - 1
 
+        d0y = dy_off if absolute_origin else sy0 + dy_off
+        d0x = dx_off if absolute_origin else sx0 + dx_off
         prs = _pos(np.arange(r0, r1 + 1, dtype=np.float64),
-                   sy0 + dy_off, dcell, sy, ty, sy0, cs_)
+                   d0y, dcell, sy, ty, sy0, cs_)
         pcs = _pos(np.arange(ow, dtype=np.float64),
-                   sx0 + dx_off, dcell, sx, tx, sx0, cs_)
+                   d0x, dcell, sx, tx, sx0, cs_)
 
         live = pdf[pdf["send_lo"] >= 0].sort_values("send_lo", kind="mergesort")
         if len(live):
@@ -206,8 +215,8 @@ def warp_affine_tiles(
             "w": [ow],
             "h": [int(out_h)],
             "cellsize": [float(dcell)],
-            "x0": [sx0 + dx_off],
-            "y0": [sy0 + dy_off],
+            "x0": [d0x],
+            "y0": [d0y],
             "crs": [dest_crs if dest_crs is not None else first.crs],
             "px": [out.ravel()],
         })
@@ -221,9 +230,22 @@ def _interp_band(band: np.ndarray, base0: int, n_band: int, in_h: int,
                  bilinear: bool, nd: float, nd32: np.float32) -> np.ndarray:
     """Interpolate dest rows x cols given source positions — shared by the
     tiled operator (band = routed slice) and the whole-grid twin
-    (band = full grid, base0 = 0)."""
-    r_ok = (prs >= 0.0) & (prs <= float(in_h - 1))
-    c_ok = (pcs >= 0.0) & (pcs <= float(in_w - 1))
+    (band = full grid, base0 = 0).
+
+    Validity: bilinear needs the CENTER SPAN [0, n-1] (the 4-corner
+    stencil must exist); nearest needs only the source EXTENT — its
+    nearest index floor(p + 0.5) in [0, n-1], i.e. p in [-0.5, n-0.5).
+    The distinction matters for mosaics: center-span validity on nearest
+    left 1-ulp cracks along seams of abutting tiles (a dest center on the
+    shared edge rounded a hair outside BOTH neighbors' center spans)."""
+    if bilinear:
+        r_ok = (prs >= 0.0) & (prs <= float(in_h - 1))
+        c_ok = (pcs >= 0.0) & (pcs <= float(in_w - 1))
+    else:
+        ri = np.floor(prs + 0.5)
+        ci = np.floor(pcs + 0.5)
+        r_ok = (ri >= 0) & (ri <= in_h - 1)
+        c_ok = (ci >= 0) & (ci <= in_w - 1)
     if r_ok.any():
         # routing-coverage invariant: every VALID dest row's stencil must
         # lie inside the routed band (the +-pad margin guarantees it; a
@@ -280,14 +302,17 @@ def warp_affine_grid(grid: np.ndarray, out_h: int, out_w: int, dcell: float,
                      dx_off: float = 0.0, dy_off: float = 0.0,
                      affine: tuple[float, float, float, float] = (1.0, 0.0, 1.0, 0.0),
                      method: str = "bilinear",
-                     nodata: float = NODATA) -> np.ndarray:
+                     nodata: float = NODATA,
+                     absolute_origin: bool = False) -> np.ndarray:
     """Whole-grid NumPy oracle — identical math to the tiled operator
     (tests assert bit-for-bit equality across tilings)."""
     sx, tx, sy, ty = (float(v) for v in affine)
     in_h, in_w = grid.shape
-    prs = _pos(np.arange(out_h, dtype=np.float64), y0 + dy_off, dcell,
+    d0y = dy_off if absolute_origin else y0 + dy_off
+    d0x = dx_off if absolute_origin else x0 + dx_off
+    prs = _pos(np.arange(out_h, dtype=np.float64), d0y, dcell,
                sy, ty, y0, cellsize)
-    pcs = _pos(np.arange(out_w, dtype=np.float64), x0 + dx_off, dcell,
+    pcs = _pos(np.arange(out_w, dtype=np.float64), d0x, dcell,
                sx, tx, x0, cellsize)
     return _interp_band(grid.astype(np.float32), 0, in_h, in_h, in_w,
                         prs, pcs, method == "bilinear", float(nodata),

@@ -1,0 +1,128 @@
+"""Mosaic (gdal_merge parity) vs NumPy twin: warp-to-shared-grid + merge.
+
+The tiled engine mosaic must equal the per-image warp_affine_grid twin
+merged in ascending image_id order, BIT-FOR-BIT, across tilings and merge
+rules; on the contiguous corpus layout the native-resolution mosaic is
+exactly the block-assembled canvas of the decoded images.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pycuda_raster_spark.fixtures import (
+    FMT_CYCLE,
+    CorpusSpec,
+    image_geo,
+    images_with_geo,
+)
+from pycuda_raster_spark.functions import codecs
+from pycuda_raster_spark.operators.decode import decode_tiles
+from pycuda_raster_spark.operators.mosaic import NODATA, mosaic_tiles
+from pycuda_raster_spark.operators.warp import warp_affine_grid
+
+SPEC = CorpusSpec(n_images=4, w=24, h=24)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    return spark.createDataFrame(images_with_geo(SPEC)).cache()
+
+
+def _decoded(i: int) -> np.ndarray:
+    src = i
+    if SPEC.dup_every and i % SPEC.dup_every == SPEC.dup_every - 1 and i >= SPEC.dup_every:
+        src = i - SPEC.dup_every
+    fmt = FMT_CYCLE[src % len(FMT_CYCLE)]
+    from pycuda_raster_spark.fixtures import grid_for
+
+    return codecs.decode(codecs.encode(grid_for(i, SPEC), fmt), fmt, SPEC.w, SPEC.h)
+
+
+def mosaic_twin(out_h, out_w, dcell, x0, y0, rule="first", method="nearest"):
+    out = np.full((out_h, out_w), np.float32(NODATA), dtype=np.float32)
+    for i in range(SPEC.n_images):  # ascending image_id order
+        gx0, gy0, cs = image_geo(i, SPEC.n_images, SPEC.w)
+        wg = warp_affine_grid(_decoded(i), out_h, out_w, dcell, x0=gx0,
+                              y0=gy0, cellsize=cs, dx_off=x0, dy_off=y0,
+                              method=method, absolute_origin=True)
+        nd = np.float32(NODATA)
+        if rule == "first":
+            take = (out == nd)
+            out[take] = wg[take]
+        elif rule == "last":
+            take = (wg != nd)
+            out[take] = wg[take]
+        elif rule == "max":
+            both = (out != nd) & (wg != nd)
+            only_new = (out == nd)
+            out[both] = np.maximum(out[both], wg[both])
+            out[only_new] = wg[only_new]
+        else:
+            raise ValueError(rule)
+    return out
+
+
+def _collect_grid(df):
+    rows = sorted(df.collect(), key=lambda r: r.ty0)
+    assert sum(r.th for r in rows) == rows[0].h
+    return np.vstack([np.asarray(r.px, np.float32).reshape(r.th, r.w)
+                      for r in rows])
+
+
+def test_native_mosaic_is_block_assembly(spark, images_df):
+    """Native-resolution mosaic of the contiguous 2x2 layout == the four
+    decoded grids pasted into their slots (nearest at identity scale is
+    pure passthrough)."""
+    gx0, gy0, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    H = W = SPEC.w * 2
+    tiles = decode_tiles(images_df, tile_rows=8)
+    got = _collect_grid(mosaic_tiles(tiles, H, W, cs, 0.0, 0.0,
+                                     out_tile_rows=8))
+    want = np.full((H, W), np.float32(NODATA), dtype=np.float32)
+    for i in range(SPEC.n_images):
+        x0, y0, _ = image_geo(i, SPEC.n_images, SPEC.w)
+        r0, c0 = round(y0 / cs), round(x0 / cs)
+        want[r0:r0 + SPEC.h, c0:c0 + SPEC.w] = _decoded(i)
+    np.testing.assert_array_equal(got, want)
+    np.testing.assert_array_equal(got, mosaic_twin(H, W, cs, 0.0, 0.0))
+
+
+@pytest.mark.parametrize("rule", ["first", "last", "max"])
+@pytest.mark.parametrize("tile_rows,out_tile_rows", [(8, 8), (13, 5)])
+def test_mosaic_matches_twin_across_tilings(spark, images_df, rule,
+                                            tile_rows, out_tile_rows):
+    """Coarser overlapping canvas, every merge rule, odd tilings: the
+    engine mosaic equals the NumPy twin bit-for-bit."""
+    _, _, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    H, W, dcell = 20, 20, cs * 2.5
+    x0 = -3.0 * cs
+    y0 = 1.5 * cs
+    tiles = decode_tiles(images_df, tile_rows=tile_rows)
+    got = _collect_grid(mosaic_tiles(tiles, H, W, dcell, x0, y0, rule=rule,
+                                     out_tile_rows=out_tile_rows))
+    np.testing.assert_array_equal(
+        got, mosaic_twin(H, W, dcell, x0, y0, rule=rule),
+        err_msg=f"{rule} tr={tile_rows}/{out_tile_rows}")
+
+
+def test_mosaic_merge_is_jvm_only(spark, images_df):
+    """The merge stage is pure JVM (collect_list + array fold): exactly
+    ONE Python stage in the whole plan (the warp assemble)."""
+    tiles = decode_tiles(images_df, tile_rows=8)
+    plan = mosaic_tiles(tiles, 20, 20, 3.0, 0.0, 0.0)._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert plan.count("FlatMapGroupsInPandas") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_mosaic_overlap_rules_differ_where_expected(spark, images_df):
+    """Two copies of the corpus shifted to overlap: 'first' keeps the
+    lower image_id's values in the overlap, 'max' the elementwise max."""
+    gx0, gy0, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    a = decode_tiles(images_df, tile_rows=8)
+    H = W = SPEC.w * 2
+    first = _collect_grid(mosaic_tiles(a, H, W, cs, 0.0, 0.0, rule="first"))
+    last = _collect_grid(mosaic_tiles(a, H, W, cs, 0.0, 0.0, rule="last"))
+    # contiguous non-overlapping layout: every rule agrees
+    np.testing.assert_array_equal(first, last)

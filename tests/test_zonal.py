@@ -131,6 +131,33 @@ def test_rasterize_zones_is_collect_free(spark, monkeypatch):
                 assert mask[yi, xi] in hits
 
 
+def test_rasterize_overlap_highest_zone_wins(spark):
+    """Overlapping zones resolve deterministically to the HIGHEST zone_id
+    (partition-invariant — not dependent on any DataFrame row order)."""
+    from pycuda_raster_spark.functions import cellindex
+
+    images, rows, cs = _images_with_geo(spark)
+    x0, y0 = rows[0]["x0"], rows[0]["y0"]
+    # two zones both covering the whole first image
+    big = [{"x": x0 - 1.0, "y": y0 - 1.0},
+           {"x": x0 + 40 * cs, "y": y0 - 1.0},
+           {"x": x0 + 40 * cs, "y": y0 + 40 * cs},
+           {"x": x0 - 1.0, "y": y0 + 40 * cs}]
+    cover = [int(c) for c in cellindex.cells_covering_bbox(
+        x0 - 1.0, y0 - 1.0, x0 + 40 * cs, y0 + 40 * cs, RES)]
+    zones = spark.createDataFrame(
+        [{"zone_id": 7, "name": "a", "ring": big, "cover_cells": cover},
+         {"zone_id": 3, "name": "b", "ring": big, "cover_cells": cover}])
+    tiles = decode_tiles(images.filter(F.col("image_id") == "img000000"),
+                         tile_rows=TILE_ROWS)
+    for npart in (1, 5):
+        out = rasterize_zones(tiles.repartition(npart), zones, res=RES).collect()
+        assert out
+        for r in out:
+            vals = set(np.asarray(r.zone_mask).tolist())
+            assert vals == {7}, vals  # highest id wins everywhere
+
+
 def test_zonal_exact_sums_partitioning_invariant(spark):
     """exact_sums=True routes partial sums through DECIMAL: the result must
     be BIT-IDENTICAL across partitionings (a raw double SUM over a shuffled
