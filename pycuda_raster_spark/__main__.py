@@ -26,6 +26,13 @@ source cellsize), origin shifted by --warp-offset=DX,DY (default 0,0),
 --warp-method=nearest|bilinear (default bilinear). Out-of-extent
 destination pixels are NODATA. Composes with the same product list as
 --resample (mutually exclusive with it).
+
+--mosaic=HxW (gdal_merge-style, r4): compose ALL input DEMs onto one
+shared canvas with origin --mosaic-origin=X0,Y0 (default 0,0), cell
+size --mosaic-dcell (default: min source cellsize), merge rule
+--mosaic-rule=first|last|max|min (default first), then compute the
+product list on the composite. Mutually exclusive with the other
+regrid modes.
 """
 
 from __future__ import annotations
@@ -45,10 +52,11 @@ def main(argv: list[str]) -> int:
 
     resample = opts.get("resample")
     warp = opts.get("warp")
-    if resample and warp:
-        print("--resample and --warp are mutually exclusive")
+    mosaic = opts.get("mosaic")
+    if sum(bool(m) for m in (resample, warp, mosaic)) > 1:
+        print("--resample / --warp / --mosaic are mutually exclusive")
         return 2
-    allowed = ALL_PRODUCTS + (("dem",) if (resample or warp) else ())
+    allowed = ALL_PRODUCTS + (("dem",) if (resample or warp or mosaic) else ())
     bad = set(products) - set(allowed)
     if bad:
         print(f"unknown products: {sorted(bad)}; available: {allowed}")
@@ -98,6 +106,25 @@ def main(argv: list[str]) -> int:
 
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"warp {out_h}x{out_w} {method}")
+        return 0
+    if mosaic:
+        out_h, out_w = (int(x) for x in mosaic.lower().split("x"))
+        dcell = opts.get("mosaic-dcell")
+        mx, my = (float(v) for v in opts.get("mosaic-origin", "0,0").split(","))
+        rule = opts.get("mosaic-rule", "first")
+
+        def regrid(tiles):
+            from pyspark.sql import functions as F
+
+            from .operators.mosaic import mosaic_tiles
+
+            dc = float(dcell) if dcell is not None else float(
+                tiles.select(F.min("cellsize")).first()[0])
+            return mosaic_tiles(tiles, out_h, out_w, dc, mx, my, rule=rule,
+                                out_tile_rows=tile_rows)
+
+        _run_regridded(spark, images, pairs, products, tile_rows,
+                       regrid, f"mosaic {out_h}x{out_w} {rule}")
         return 0
     fused = decode_focal(images, tile_rows=tile_rows, products=products,
                          partitions=spark.sparkContext.defaultParallelism * 2)

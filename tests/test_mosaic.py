@@ -126,3 +126,33 @@ def test_mosaic_overlap_rules_differ_where_expected(spark, images_df):
     last = _collect_grid(mosaic_tiles(a, H, W, cs, 0.0, 0.0, rule="last"))
     # contiguous non-overlapping layout: every rule agrees
     np.testing.assert_array_equal(first, last)
+
+
+def test_cli_mosaic_then_products(spark, images_df, tmp_path):
+    """--mosaic=HxW: the composite dem equals the NumPy mosaic twin and
+    exports through the GeoTIFF sink with the canvas georeference."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.sources.geotiff import decode_geotiff
+    from pycuda_raster_spark.sources.rasters import export_geotiffs
+
+    gx0, gy0, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    src = tmp_path / "images"
+    images_df.write.parquet(str(src))
+    H = W = SPEC.w * 2
+    argv = [str(src), str(tmp_path / "dem"), "dem",
+            "--mosaic=%dx%d" % (H, W), "--mosaic-rule=first",
+            "--tile-rows=8"]
+    assert main(argv) == 0
+    dem = spark.read.parquet(str(tmp_path / "dem"))
+    rows = sorted(dem.collect(), key=lambda r: r.ty0)
+    got = np.vstack([np.asarray(r.dem, np.float32).reshape(r.th, r.w)
+                     for r in rows])
+    np.testing.assert_array_equal(got, mosaic_twin(H, W, cs, 0.0, 0.0))
+
+    # composite exports through the GeoTIFF sink and roundtrips
+    out = tmp_path / "tif"
+    n = export_geotiffs(dem.withColumnRenamed("dem", "px"), str(out))
+    assert n == 1
+    g, hdr = decode_geotiff((out / "mosaic.tif").read_bytes())
+    np.testing.assert_array_equal(g, got)
+    assert hdr["cellsize"] == cs and hdr["x0"] == 0.0 and hdr["y0"] == 0.0
