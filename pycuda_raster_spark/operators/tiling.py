@@ -3,22 +3,25 @@
 ``halo_exchange`` is the engine's standalone version of the reference's
 carry-rows-between-chunks buffer ([ref?: gpuCalc.py rolling halo buffer];
 behavior per B:6 "halo-row exchange between tile partitions"): when tiles
-were persisted WITHOUT halos (e.g. read back from the tile store), a
-lag/lead window over ``tile_y`` within each image replicates each tile's
-boundary rows to its neighbors. Pure built-in expressions — the boundary
-rows are carved out with ``slice`` (JVM-side, no Python), and the only cost
-is one hash-partition shuffle on ``image_id``, which the subsequent
-grouped/stencil stages reuse.
+were persisted WITHOUT halos (e.g. read back from the tile store), each
+tile's boundary rows are replicated to its tile_y neighbors.
 
-At 100 TB scale this matters: the alternative (self-join tiles on
-``tile_y±1``) would shuffle the full pixel payload twice; lag/lead moves
-each boundary row exactly once and keeps whole-stage codegen for the
-slicing.
+Shape (r4): a SLIM edge-row join, not a per-image window. The original
+lag/lead window partitioned by ``image_id`` — which funnels EVERY tile of
+an image through one task, serializing exactly the case that matters most
+at scale: one huge raster (a mosaic canvas, a continent-sized DEM). The
+join form projects each tile's first/last pixel row (w floats, not the
+payload) into an edges table keyed by the NEIGHBOR's (image_id, tile_y);
+two left equi-joins attach halo_top/halo_bot. The edge sides are tiny, so
+AQE broadcasts them and the pixel payload is never shuffled at all; past
+the broadcast threshold it degrades to a shuffle on the fine-grained
+(image_id, tile_y) key — parallel regardless of per-image tile counts.
+Pure built-in expressions throughout (slice carves the rows JVM-side).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -35,13 +38,18 @@ def halo_exchange(tiles: DataFrame) -> DataFrame:
     row of tile t+1; null at true image edges (NODATA policy applies there,
     SURVEY.md §2.2 op 9).
     """
-    w = Window.partitionBy("image_id").orderBy("tile_y")
     first_row = F.expr("slice(px, 1, w)")
     last_row = F.expr("slice(px, (th - 1) * w + 1, w)")
+    base = tiles.drop("halo_top", "halo_bot")
+    up = base.select(
+        "image_id", (F.col("tile_y") + 1).alias("tile_y"),
+        last_row.alias("halo_top"))
+    down = base.select(
+        "image_id", (F.col("tile_y") - 1).alias("tile_y"),
+        first_row.alias("halo_bot"))
     return (
-        tiles.drop("halo_top", "halo_bot")
-        .withColumn("halo_top", F.lag(last_row).over(w))
-        .withColumn("halo_bot", F.lead(first_row).over(w))
+        base.join(up, ["image_id", "tile_y"], "left")
+        .join(down, ["image_id", "tile_y"], "left")
     )
 
 

@@ -346,3 +346,15 @@ def test_caption_passthrough(spark, images_df):
     want = {r.image_id: r.caption for r in images_df.select("image_id", "caption").collect()}
     got = {r.image_id: r.caption for r in out}
     assert got == want
+
+
+def test_halo_exchange_plan_is_broadcast_join_not_window(spark, images_df):
+    """The standalone halo exchange must not funnel an image through a
+    single per-image window task (the old lag/lead shape serialized huge
+    single-image canvases): edge sides broadcast, no Window operator."""
+    out = halo_exchange(strip_halos(decode_tiles(images_df, tile_rows=16)))
+    out.write.format("noop").mode("overwrite").save()  # let AQE finalize
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    final = plan.split("== Initial Plan ==")[0]
+    assert "Window" not in final, final[:2000]
+    assert "BroadcastHashJoin" in final, final[:2000]
