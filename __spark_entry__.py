@@ -984,6 +984,62 @@ def _r_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# raster-calc pair: img000008 carries the corpus NODATA patch, so the
+# algebra's NODATA propagation is exercised; crop window chosen to split
+# across band boundaries at tile_rows=8 (rows 5..24 touch 3 bands)
+CALC_A, CALC_B = "img000000", "img000008"
+CROP_R0, CROP_C0, CROP_H, CROP_W = 5, 7, 20, 9
+
+
+def _r_raster_calc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster algebra (gdal_calc.py parity): normalized difference AND
+    elementwise sum of two same-grid corpus images in ONE pass (single
+    band join, both expressions in the same JVM projection). All math is
+    fixed-order double arithmetic with a float32 output cast, so the
+    DuckDB twin over the ground-truth pixel table is value-EXACT,
+    including the NODATA patch img000008 carries and the guarded
+    zero-denominator case."""
+    from pycuda_raster_spark.operators.calc import raster_calc
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    out = raster_calc(decode_tiles(images, tile_rows=8), CALC_A, CALC_B,
+                      ops=("ndiff", "add"))
+    w = 32
+    return out.select(
+        "ty0",
+        F.posexplode(F.arrays_zip("px_ndiff", "px_add")).alias("pos", "z"),
+    ).select(
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("z.px_ndiff").cast("double").alias("val_ndiff"),
+        F.col("z.px_add").cast("double").alias("val_add"),
+    )
+
+
+def _r_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Windowed crop (gdal_translate -srcwin parity): rows 5..24 x cols
+    7..15 out of every corpus image — a NARROW plan (band filter + JVM
+    array slicing, zero shuffle). Values pass through untouched, so the
+    oracle is a pure filter/re-index of the ground-truth pixel table."""
+    from pycuda_raster_spark.operators.calc import crop_tiles
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    out = crop_tiles(decode_tiles(images, tile_rows=8),
+                     CROP_R0, CROP_C0, CROP_H, CROP_W)
+    return out.select(
+        "image_id", "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(CROP_W)))
+                         / CROP_W)).cast("int").alias("r"),
+        F.pmod("pos", F.lit(CROP_W)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
 def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary-payload feature extraction (multimodal plumbing). Output
     keeps the ORDER-INDEPENDENT stats (min/max of decoded pixels) so the
@@ -1681,6 +1737,40 @@ def _corpus_oracles() -> dict[str, str]:
           ON p.ro = grid.ro AND p.co = grid.co
     """
 
+    # raster algebra: the SAME fixed-order double expressions the engine's
+    # zip_with evaluates (plain + - / are correctly rounded -> identical
+    # doubles), single float32 rounding at the end on both sides
+    calc = f"""
+        WITH a AS (SELECT r, c, CAST(val AS DOUBLE) AS av FROM {pixels}
+                   WHERE image_id = '{CALC_A}'),
+             b AS (SELECT r, c, CAST(val AS DOUBLE) AS bv FROM {pixels}
+                   WHERE image_id = '{CALC_B}')
+        SELECT a.r, a.c,
+               CAST(CAST(CASE WHEN av = CAST(-9999 AS DOUBLE)
+                               OR bv = CAST(-9999 AS DOUBLE)
+                               OR av + bv = CAST(0 AS DOUBLE)
+                          THEN CAST(-9999 AS DOUBLE)
+                          ELSE (av - bv) / (av + bv)
+                     END AS FLOAT) AS DOUBLE) AS val_ndiff,
+               CAST(CAST(CASE WHEN av = CAST(-9999 AS DOUBLE)
+                               OR bv = CAST(-9999 AS DOUBLE)
+                          THEN CAST(-9999 AS DOUBLE)
+                          ELSE av + bv
+                     END AS FLOAT) AS DOUBLE) AS val_add
+        FROM a JOIN b USING (r, c)
+    """
+
+    # crop is value passthrough: filter + re-index of the ground truth
+    crop = f"""
+        SELECT image_id,
+               CAST(r - {CROP_R0} AS INT) AS r,
+               CAST(c - {CROP_C0} AS INT) AS c,
+               CAST(val AS DOUBLE) AS val
+        FROM {pixels}
+        WHERE r >= {CROP_R0} AND r < {CROP_R0 + CROP_H}
+          AND c >= {CROP_C0} AND c < {CROP_C0 + CROP_W}
+    """
+
     multimodal = f"""
         SELECT i.image_id, i.fmt,
                min(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS min_px,
@@ -1903,6 +1993,8 @@ def _corpus_oracles() -> dict[str, str]:
         "r_resample_bilinear": resample_b,
         "r_warp_affine": warp,
         "r_mosaic": mosaic,
+        "r_raster_calc": calc,
+        "r_crop": crop,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
@@ -1991,7 +2083,7 @@ def _shared(name: str):
 CONTRACT_ORDER = [
     # --- driver window: 50 fully-oracled queries -------------------------
     "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
-    "q_window_topk", "q_running_sum", "q_rollup", "q_histogram",
+    "q_window_topk", "q_rollup",
     "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
     "q_salted_agg", "q_skew_join", "q_distinct_percentile", "q_pivot",
     "q_text_stats", "q_lang_id", "q_embedding_stats", "q_ann_topk_join",
@@ -2005,9 +2097,13 @@ CONTRACT_ORDER = [
     "r_hillshade_md", "r_color_relief", "r_pip_join", "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_phash_clusters", "r_resample_bilinear", "r_warp_affine", "r_mosaic",
-    "r_multimodal_features",
+    "r_raster_calc", "r_crop", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
-    # --- tools/check_oracles.py every round) -----------------------------
+    # --- tools/check_oracles.py every round). q_running_sum/q_histogram
+    # --- moved here round 4 to make room — their §2 rows (lag/lead,
+    # --- histogram+percentile) stay evidenced in-window by q_sessionize
+    # --- and q_distinct_percentile ---------------------------------------
+    "q_running_sum", "q_histogram",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
@@ -2065,6 +2161,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_resample_bilinear": _r_resample_bilinear,
             "r_warp_affine": _r_warp_affine,
             "r_mosaic": _r_mosaic,
+            "r_raster_calc": _r_raster_calc,
+            "r_crop": _r_crop,
             "r_multimodal_features": _r_multimodal_features,
             # rows-only: engine-specific approximation (approx aggs), a
             # Spark-only hash family (xxhash64 simhash), and the banded-LSH
