@@ -294,6 +294,17 @@ def _q_text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals (operators/text.py
+    repetition_stats): duplicate-token pressure + most-frequent word
+    2-gram share with a lexicographic tie-break shared by both engines.
+    Counts are integers and the share is one double division -> exact."""
+    from pycuda_raster_spark.operators.text import repetition_stats
+
+    _register(spark, sf_dir)
+    return repetition_stats(spark.table("documents"))
+
+
 def _q_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """array-column aggregates: per-label counts + exact decimal norm sums."""
     _register(spark, sf_dir)
@@ -2083,10 +2094,11 @@ def _shared(name: str):
 CONTRACT_ORDER = [
     # --- driver window: 50 fully-oracled queries -------------------------
     "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
-    "q_window_topk", "q_rollup",
+    "q_window_topk",
     "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
     "q_salted_agg", "q_skew_join", "q_distinct_percentile", "q_pivot",
-    "q_text_stats", "q_lang_id", "q_embedding_stats", "q_ann_topk_join",
+    "q_text_stats", "q_lang_id", "q_repetition_filter",
+    "q_embedding_stats", "q_ann_topk_join",
     "q_minhash_pairs", "q_minhash_pairs_lsh_dual",
     "q_ngram_pairs", "q_ngram_pairs_lsh_dual",
     "q_cosine_pairs", "q_cosine_pairs_lsh_dual",
@@ -2100,10 +2112,11 @@ CONTRACT_ORDER = [
     "r_raster_calc", "r_crop", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round). q_running_sum/q_histogram
-    # --- moved here round 4 to make room — their §2 rows (lag/lead,
-    # --- histogram+percentile) stay evidenced in-window by q_sessionize
-    # --- and q_distinct_percentile ---------------------------------------
-    "q_running_sum", "q_histogram",
+    # --- q_running_sum/q_histogram/q_rollup moved here round 4 to make
+    # --- room — their §2 rows (lag/lead, histogram+percentile,
+    # --- rollup/cube/pivot) stay evidenced in-window by q_sessionize,
+    # --- q_distinct_percentile and q_pivot -------------------------------
+    "q_running_sum", "q_histogram", "q_rollup",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
@@ -2128,6 +2141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_pivot": _q_pivot,
             "q_text_stats": _q_text_stats,
             "q_lang_id": _q_lang_id,
+            "q_repetition_filter": _q_repetition_filter,
             "q_embedding_stats": _q_embedding_stats,
             "q_ann_topk": _q_ann_topk,
             "q_ann_topk_join": _q_ann_topk_join,
@@ -2273,6 +2287,53 @@ def oracle_sql() -> dict[str, str]:
                             THEN 'en' ELSE 'unk' END AS lang_pred,
                        md5(regexp_replace(lower(text), '[^a-z0-9]', '', 'g')) AS fingerprint
                 FROM t
+            """,
+            "q_repetition_filter": """
+                WITH t AS (
+                    SELECT doc_id,
+                           regexp_split_to_array(lower(trim(text)), '\\s+') AS toks
+                    FROM documents
+                ),
+                b AS (
+                    SELECT doc_id,
+                           len(toks) AS n_tokens,
+                           len(list_distinct(toks)) AS n_distinct_tokens,
+                           list_transform(generate_series(1, len(toks) - 1),
+                                          i -> toks[i] || ' ' || toks[i + 1]) AS grams
+                    FROM t
+                ),
+                g AS (
+                    SELECT doc_id, n_tokens, n_distinct_tokens,
+                           unnest(CASE WHEN len(grams) = 0
+                                       THEN [CAST(NULL AS VARCHAR)]
+                                       ELSE grams END) AS gram
+                    FROM b
+                ),
+                c AS (
+                    SELECT doc_id, n_tokens, n_distinct_tokens, gram,
+                           count(*) AS gram_n
+                    FROM g GROUP BY ALL
+                ),
+                r AS (
+                    SELECT *, row_number() OVER (
+                               PARTITION BY doc_id
+                               ORDER BY (gram IS NULL), gram_n DESC, gram
+                           ) AS rk
+                    FROM c
+                )
+                SELECT doc_id, n_tokens, n_distinct_tokens,
+                       gram AS top2,
+                       CAST(CASE WHEN gram IS NULL THEN 0 ELSE gram_n END
+                            AS BIGINT) AS top2_n,
+                       CASE WHEN gram IS NULL THEN CAST(0 AS DOUBLE)
+                            ELSE CAST(gram_n AS DOUBLE)
+                                 / CAST(greatest(n_tokens - 1, 1) AS DOUBLE)
+                       END AS top2_share,
+                       (CASE WHEN gram IS NULL THEN CAST(0 AS DOUBLE)
+                             ELSE CAST(gram_n AS DOUBLE)
+                                  / CAST(greatest(n_tokens - 1, 1) AS DOUBLE)
+                        END) > 0.125 AS repetitive
+                FROM r WHERE rk = 1
             """,
             "q_quality_filter": """
                 WITH t AS (

@@ -126,3 +126,68 @@ def with_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     variants of the same content)."""
     norm = F.regexp_replace(F.lower(F.col(text_col)), r"[^a-z0-9]", "")
     return df.withColumn("fingerprint", F.md5(norm))
+
+
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text",
+                     top_share_max: float = 0.125) -> DataFrame:
+    """Gopher-style repetition signals per document (the rules large-scale
+    training-data pipelines apply before training; Rae et al. 2021 §A1.1):
+
+    * ``n_tokens`` / ``n_distinct_tokens`` — duplicate-token pressure;
+    * ``top2`` / ``top2_n`` — the most frequent word 2-gram (ties broken
+      lexicographically, so both engines pick the same gram) and its count;
+    * ``top2_share`` — fraction of the doc's 2-grams that are that gram;
+    * ``repetitive`` — flag: ``top2_share > top_share_max`` (default 0.125,
+      a binary fraction so the literal is exact in both engines).
+
+    Plan shape: the 2-gram build is a per-row JVM array transform (no
+    Python), then ONE explode + groupBy on (doc, gram) — the standard
+    scalable shape for arbitrarily long documents (per-doc state never
+    materializes on one executor beyond its own gram counts, and AQE can
+    split a skewed mega-doc's key range). Counts are integers and the
+    share is a single double division, so the DuckDB twin matches
+    bit-for-bit. Docs with < 2 tokens carry zero 2-grams and surface with
+    ``top2 = NULL, top2_share = 0``.
+    """
+    toks = _tokens(F.col(text_col))
+    base = df.select(
+        F.col(id_col),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"),
+        # guard: sequence(0, -1) would be DESCENDING in Spark, so a
+        # 1-token doc must short-circuit to an empty gram list
+        F.when(
+            F.size(toks) >= 2,
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - 2),
+                lambda i: F.concat_ws(" ", F.element_at(toks, i + 1),
+                                      F.element_at(toks, i + 2)),
+            ),
+        ).otherwise(F.array().cast("array<string>")).alias("grams"),
+    )
+    counts = (
+        base.select(id_col, "n_tokens", "n_distinct_tokens",
+                    F.explode_outer("grams").alias("gram"))
+        .groupBy(id_col, "n_tokens", "n_distinct_tokens", "gram")
+        .agg(F.count(F.lit(1)).alias("gram_n"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("gram").isNull().asc(),  # real grams before the empty-doc row
+        F.col("gram_n").desc(), F.col("gram").asc())
+    top = counts.withColumn("__rk", F.row_number().over(w)).filter(
+        F.col("__rk") == 1)
+    n_grams = F.greatest(F.col("n_tokens") - 1, F.lit(1)).cast("double")
+    share = F.when(F.col("gram").isNull(), F.lit(0.0)).otherwise(
+        F.col("gram_n").cast("double") / n_grams)
+    return top.select(
+        F.col(id_col),
+        "n_tokens", "n_distinct_tokens",
+        F.col("gram").alias("top2"),
+        F.when(F.col("gram").isNull(), F.lit(0))
+         .otherwise(F.col("gram_n")).cast("long").alias("top2_n"),
+        share.alias("top2_share"),
+        (share > F.lit(float(top_share_max))).alias("repetitive"),
+    )

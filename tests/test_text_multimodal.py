@@ -167,3 +167,35 @@ def test_lang_id_multi_predictions(spark):
     assert abs(out[0].rate_en - 9 / 13) < 1e-12
     plan = with_lang_id_multi(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "Python" not in plan
+
+
+def test_repetition_stats_edges_and_tiebreak(spark):
+    from pycuda_raster_spark.operators.text import repetition_stats
+
+    docs = spark.createDataFrame(
+        [
+            # "b c" x3 of 6 grams -> share 0.5 > 0.125 -> repetitive
+            (1, "a b c b c b c"),
+            # 8 distinct 2-grams, tie on count=1 -> lexicographic pick;
+            # share exactly 1/8 = threshold -> NOT repetitive (strict >)
+            (2, "i h g f e d c b a"),
+            (3, "solo"),          # < 2 tokens: no grams
+            (4, ""),              # empty text -> split gives one '' token
+        ],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r for r in repetition_stats(docs).collect()}
+    assert len(out) == 4
+
+    r1 = out[1]
+    assert r1.top2 == "b c" and r1.top2_n == 3
+    assert r1.top2_share == 3.0 / 6.0 and bool(r1.repetitive)
+    assert r1.n_tokens == 7 and r1.n_distinct_tokens == 3
+
+    r2 = out[2]
+    assert r2.top2 == "b a" and r2.top2_n == 1  # smallest gram among ties
+    assert r2.top2_share == 0.125 and not r2.repetitive
+
+    for d in (3, 4):
+        assert out[d].top2 is None and out[d].top2_n == 0
+        assert out[d].top2_share == 0.0 and not out[d].repetitive
