@@ -995,6 +995,31 @@ def _r_mosaic(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow direction (ESRI codes; the hydrology product gdaldem
+    lacks). Per-pixel integer codes — drops are fixed-order double
+    subtractions (diagonals scaled by the shared INV_SQRT2 literal) and
+    the winner is strict equality against greatest() in one priority
+    order, so the DuckDB window twin reproduces every code exactly,
+    ties and flats included. Edge/NODATA cells are filtered (the
+    oracle's inner window joins drop them on its side)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+
+    images, _, _ = _corpus(spark)
+    out = flow_dir_tiles(decode_tiles(images, tile_rows=8))
+    w = 32
+    return out.select(
+        "image_id", "ty0", F.posexplode("flow_dir").alias("pos", "v")
+    ).filter(F.col("v") != -9999.0).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("v").cast("int").alias("code"),
+    )
+
+
 # raster-calc pair: img000008 carries the corpus NODATA patch, so the
 # algebra's NODATA propagation is exercised; crop window chosen to split
 # across band boundaries at tile_rows=8 (rows 5..24 touch 3 bands)
@@ -1406,6 +1431,42 @@ def _corpus_oracles() -> dict[str, str]:
                CAST(count(*) AS BIGINT) AS n_valid,
                CAST(SUM(CAST(s AS DOUBLE)) AS DOUBLE) AS hsmd_sum
         FROM hsmd GROUP BY image_id, r // 8
+    """
+
+    # D8 flow direction: drops re-derived from the same window CTE; the
+    # argmax is strict equality against greatest() in the engine's
+    # priority order (identical doubles -> identical picks, ties included)
+    is2 = "CAST('0.7071067811865476' AS DOUBLE)"
+    flow = f"""
+        WITH {horn_win},
+        dr AS (
+            SELECT image_id, r, c,
+                   (ee - f)          AS d_e,
+                   (ee - cc) * {is2} AS d_se,
+                   (ee - b)          AS d_s,
+                   (ee - a) * {is2}  AS d_sw,
+                   (ee - d)          AS d_w,
+                   (ee - g) * {is2}  AS d_nw,
+                   (ee - h)          AS d_n,
+                   (ee - i2) * {is2} AS d_ne
+            FROM win
+        ),
+        m AS (
+            SELECT *, greatest(d_e, d_se, d_s, d_sw,
+                               d_w, d_nw, d_n, d_ne) AS maxd
+            FROM dr
+        )
+        SELECT image_id, r, c,
+               CAST(CASE WHEN maxd <= CAST(0 AS DOUBLE) THEN 0
+                         WHEN d_e  = maxd THEN 1
+                         WHEN d_se = maxd THEN 2
+                         WHEN d_s  = maxd THEN 4
+                         WHEN d_sw = maxd THEN 8
+                         WHEN d_w  = maxd THEN 16
+                         WHEN d_nw = maxd THEN 32
+                         WHEN d_n  = maxd THEN 64
+                         ELSE 128 END AS INT) AS code
+        FROM m
     """
 
     # color-relief: the engine's CASE chain replayed literally (every
@@ -1992,6 +2053,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_focal_terrain": terrain,
         "r_zonal_slope": zonal_slope,
         "r_hillshade_md": hillshade_md,
+        "r_flow_dir": flow,
         "r_color_relief": color,
         "r_pip_join": pip,
         "r_knn_join": knn,
@@ -2103,10 +2165,11 @@ CONTRACT_ORDER = [
     "q_ngram_pairs", "q_ngram_pairs_lsh_dual",
     "q_cosine_pairs", "q_cosine_pairs_lsh_dual",
     "q_dedup_clusters", "q_pack_shards", "q_contamination",
-    "q_quality_filter", "q_ivf_ann", "q_ivf_ann_join", "q_ivf_ann_trained",
+    "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
-    "r_hillshade_md", "r_color_relief", "r_pip_join", "r_knn_join",
+    "r_hillshade_md", "r_flow_dir", "r_color_relief", "r_pip_join",
+    "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_phash_clusters", "r_resample_bilinear", "r_warp_affine", "r_mosaic",
     "r_raster_calc", "r_crop", "r_multimodal_features",
@@ -2117,6 +2180,9 @@ CONTRACT_ORDER = [
     # --- rollup/cube/pivot) stay evidenced in-window by q_sessionize,
     # --- q_distinct_percentile and q_pivot -------------------------------
     "q_running_sum", "q_histogram", "q_rollup",
+    # --- q_ivf_ann likewise: its family stays evidenced in-window by
+    # --- q_ivf_ann_join (scale path) and q_ivf_ann_trained -------------
+    "q_ivf_ann",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
@@ -2163,6 +2229,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_focal_terrain": _r_focal_terrain,
             "r_zonal_slope": _r_zonal_slope,
             "r_hillshade_md": _r_hillshade_md,
+            "r_flow_dir": _r_flow_dir,
             "r_color_relief": _r_color_relief,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,

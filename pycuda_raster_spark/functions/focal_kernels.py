@@ -209,6 +209,63 @@ def terrain_products(
     return tri, tpi, rough
 
 
+# 1/sqrt(2) as the fixed double literal shared with the SQL oracle
+# (interpolated there as CAST('0.7071067811865476' AS DOUBLE))
+INV_SQRT2 = 0.7071067811865476
+
+#: D8 codes in PRIORITY order (ESRI encoding; south-up grids, row+1 = N):
+#: E=1, SE=2, S=4, SW=8, W=16, NW=32, N=64, NE=128 — the first direction
+#: in this order attaining the max drop wins ties.
+D8_CODES = (1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0)
+
+
+def flow_dir(
+    grid: np.ndarray,
+    halo_top: np.ndarray | None = None,
+    halo_bot: np.ndarray | None = None,
+) -> np.ndarray:
+    """D8 flow direction (ESRI encoding): the steepest-descent neighbor's
+    code, 0 for flats/pits (no strictly positive drop). Diagonal drops are
+    distance-weighted by ``INV_SQRT2``; cellsize cancels out of the argmax
+    so the kernel needs no georeference. Same padded-window / NODATA /
+    edge policy as the other 3x3 products; float32 output (codes and
+    NODATA are exactly representable).
+
+    Every drop is one subtraction (+ one multiply for diagonals) of the
+    SAME doubles both engines hold, and the winner is picked by strict
+    equality against ``greatest`` in a fixed priority order — so the
+    DuckDB oracle reproduces the codes exactly, ties included."""
+    g = _padded(np.asarray(grid, dtype=np.float64), halo_top, halo_bot)
+    nd = g == NODATA
+
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+
+    bad = (
+        nd[:-2, :-2] | nd[:-2, 1:-1] | nd[:-2, 2:]
+        | nd[1:-1, :-2] | nd[1:-1, 1:-1] | nd[1:-1, 2:]
+        | nd[2:, :-2] | nd[2:, 1:-1] | nd[2:, 2:]
+    )
+
+    # south-up: row-1 (a/b/c) is SOUTH of the center, row+1 (gg/hh/ii)
+    # NORTH. Drops listed in D8_CODES priority order.
+    drops = (
+        e - f,                  # E   = 1
+        (e - c) * INV_SQRT2,    # SE  = 2
+        e - b,                  # S   = 4
+        (e - a) * INV_SQRT2,    # SW  = 8
+        e - d,                  # W   = 16
+        (e - gg) * INV_SQRT2,   # NW  = 32
+        e - hh,                 # N   = 64
+        (e - ii) * INV_SQRT2,   # NE  = 128
+    )
+    maxd = np.maximum.reduce(drops)
+    code = np.select([dr == maxd for dr in drops], D8_CODES, 0.0)
+    code = np.where(maxd <= 0.0, 0.0, code)
+    return np.where(bad, NODATA, code).astype(np.float32)
+
+
 def oracle_whole_grid(grid: np.ndarray, cellsize: float) -> dict[str, np.ndarray]:
     """Whole-grid (untiled) golden oracle — plays the role GDAL played for
     the reference's comparison tests (B:6; GDAL absent in sandbox). The
@@ -218,4 +275,5 @@ def oracle_whole_grid(grid: np.ndarray, cellsize: float) -> dict[str, np.ndarray
     tri, tpi, rough = terrain_products(grid)
     return {"slope": s, "aspect": a, "hillshade": h,
             "tri": tri, "tpi": tpi, "roughness": rough,
-            "hillshade_md": hillshade_md(grid, cellsize)}
+            "hillshade_md": hillshade_md(grid, cellsize),
+            "flow_dir": flow_dir(grid)}

@@ -171,6 +171,45 @@ def hillshade_md_tiles(tiles: DataFrame,
     return tiles.select(*cols).mapInPandas(gen, schema=HS_MD_SCHEMA)
 
 
+FLOW_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, caption string, psnr double, "
+    "flow_dir array<float>"
+)
+
+
+def flow_dir_tiles(tiles: DataFrame) -> DataFrame:
+    """tiles with halo_top/halo_bot -> D8 flow-direction tiles (ESRI
+    codes; functions/focal_kernels.flow_dir). Same mapInPandas shape as
+    terrain_tiles — the hydrology entry point the gdaldem family lacks."""
+    from ..functions.focal_kernels import flow_dir
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
+                "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
+                "h": pdf["h"], "cellsize": pdf["cellsize"], "x0": pdf["x0"],
+                "y0": pdf["y0"], "crs": pdf["crs"], "caption": pdf["caption"],
+                "psnr": pdf["psnr"], "flow_dir": [None] * len(pdf),
+            }
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                grid = np.asarray(pdf["px"].iat[i], dtype=np.float32).reshape(th, w)
+                ht = pdf["halo_top"].iat[i]
+                hb = pdf["halo_bot"].iat[i]
+                out["flow_dir"][i] = flow_dir(
+                    grid,
+                    halo_top=None if ht is None else np.asarray(ht, dtype=np.float32),
+                    halo_bot=None if hb is None else np.asarray(hb, dtype=np.float32),
+                ).ravel()
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
+            "y0", "crs", "caption", "psnr", "px", "halo_top", "halo_bot"]
+    return tiles.select(*cols).mapInPandas(gen, schema=FLOW_SCHEMA)
+
+
 ALL_PRODUCTS = PRODUCTS + TERRAIN_PRODUCTS
 
 _FUSED_COMMON = (

@@ -358,3 +358,56 @@ def test_halo_exchange_plan_is_broadcast_join_not_window(spark, images_df):
     final = plan.split("== Initial Plan ==")[0]
     assert "Window" not in final, final[:2000]
     assert "BroadcastHashJoin" in final, final[:2000]
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 40])
+def test_flow_dir_tiling_matches_oracle(spark, images_df, tile_rows):
+    """D8 flow direction: tiled engine == whole-grid kernel bit-for-bit
+    at every tile height (codes are exact floats, so equality is strict),
+    and codes stay in the ESRI set."""
+    from pycuda_raster_spark.functions.codecs import decode
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+
+    tiles = decode_tiles(images_df, tile_rows=tile_rows)
+    rows = flow_dir_tiles(tiles).select(
+        "image_id", "ty0", "th", "w", "flow_dir").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, []).append(r)
+    got = {}
+    for iid, ts in per.items():
+        ts.sort(key=lambda r: r.ty0)
+        got[iid] = np.vstack([
+            np.asarray(t.flow_dir, np.float32).reshape(t.th, t.w) for t in ts])
+    from pycuda_raster_spark.functions.focal_kernels import NODATA, flow_dir
+
+    allowed = {0.0, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0, NODATA}
+    for row in images_df.select("image_id", "bytes", "fmt", "w", "h").collect():
+        g = decode(bytes(row.bytes), row.fmt, row.w, row.h)
+        np.testing.assert_array_equal(
+            got[row.image_id], flow_dir(g),
+            err_msg=f"{row.image_id} tile_rows={tile_rows}")
+        assert set(np.unique(got[row.image_id])) <= allowed
+
+
+def test_flow_dir_semantics_inclined_plane():
+    """A plane rising to the north (row+1 higher, south-up) must drain due
+    SOUTH (code 4) everywhere; flat plane -> 0; a pit cell -> 0."""
+    from pycuda_raster_spark.functions.focal_kernels import NODATA, flow_dir
+
+    rows = np.arange(12, dtype=np.float32)[:, None]
+    plane = np.broadcast_to(rows * 3.0, (12, 10)).copy()
+    fd = flow_dir(plane)
+    inner = fd[1:-1, 1:-1]
+    assert (inner == 4.0).all()
+
+    flat = np.full((8, 8), 5.0, dtype=np.float32)
+    assert (flow_dir(flat)[1:-1, 1:-1] == 0.0).all()
+
+    pit = flat.copy()
+    pit[4, 4] = -10.0
+    fd = flow_dir(pit)
+    assert fd[4, 4] == 0.0            # pit has no downhill neighbor
+    assert fd[4, 3] == 1.0            # east neighbor drains INTO the pit
+    assert fd[4, 5] == 16.0           # west
+    assert fd[3, 4] == 64.0           # pit sits at row+1 = north of (3,4)
