@@ -148,6 +148,7 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
     from .operators.focal import (
         PRODUCTS,
         TERRAIN_PRODUCTS,
+        flow_dir_tiles,
         focal_products,
         terrain_tiles,
     )
@@ -163,13 +164,19 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
     terr_want = tuple(p for p in set(products) & set(TERRAIN_PRODUCTS))
     horn = focal_products(tiles, products=horn_want).cache() if horn_want else None
     terr = terrain_tiles(tiles, products=terr_want).cache() if terr_want else None
+    flow = flow_dir_tiles(tiles).cache() if "flow_dir" in products else None
     for out, func in pairs:
-        src = tiles if func == "dem" else (horn if func in PRODUCTS else terr)
+        if func == "dem":
+            src = tiles
+        elif func == "flow_dir":
+            src = flow
+        else:
+            src = horn if func in PRODUCTS else terr
         col = "px" if func == "dem" else func
         src.select(*keep, F.col(col).alias(func)).write.mode(
             "overwrite").parquet(out)
         print(f"wrote {func} tiles ({label}) -> {out}")
-    for df in (tiles, horn, terr):
+    for df in (tiles, horn, terr, flow):
         if df is not None:
             df.unpersist()
 

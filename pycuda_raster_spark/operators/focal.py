@@ -210,7 +210,7 @@ def flow_dir_tiles(tiles: DataFrame) -> DataFrame:
     return tiles.select(*cols).mapInPandas(gen, schema=FLOW_SCHEMA)
 
 
-ALL_PRODUCTS = PRODUCTS + TERRAIN_PRODUCTS
+ALL_PRODUCTS = PRODUCTS + TERRAIN_PRODUCTS + ("flow_dir",)
 
 _FUSED_COMMON = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
@@ -256,7 +256,11 @@ def decode_focal(
     bytes are flat buffer copies. Decode with numpy.frombuffer('<f4') /
     the px_f32 helper. Pass False for the analysis-friendly array schema.
     """
-    from ..functions.focal_kernels import NODATA as _ND, terrain_products
+    from ..functions.focal_kernels import (
+        NODATA as _ND,
+        flow_dir as _flow_dir,
+        terrain_products,
+    )
     from .decode import _ensure_geo
 
     want = set(products)
@@ -291,6 +295,8 @@ def decode_focal(
                 if want_terr:
                     tri, tpi, rough = terrain_products(grid)
                     prod.update(tri=tri, tpi=tpi, roughness=rough)
+                if "flow_dir" in want:
+                    prod["flow_dir"] = _flow_dir(grid)
                 n_tiles = (h + tile_rows - 1) // tile_rows
                 for t in range(n_tiles):
                     ty0 = t * tile_rows
@@ -350,7 +356,7 @@ def decode_focal_arrow(
     import pyarrow as pa
 
     from ..functions import codecs
-    from ..functions.focal_kernels import terrain_products
+    from ..functions.focal_kernels import flow_dir as _flow_dir, terrain_products
     from .decode import _ensure_geo
 
     want = set(products)
@@ -409,6 +415,8 @@ def decode_focal_arrow(
                 if want_terr:
                     tri, tpi, rough = terrain_products(grid)
                     prod.update(tri=tri, tpi=tpi, roughness=rough)
+                if "flow_dir" in want:
+                    prod["flow_dir"] = _flow_dir(grid)
                 n_tiles = (h + tile_rows - 1) // tile_rows
                 for t in range(n_tiles):
                     ty0 = t * tile_rows

@@ -411,3 +411,59 @@ def test_flow_dir_semantics_inclined_plane():
     assert fd[4, 3] == 1.0            # east neighbor drains INTO the pit
     assert fd[4, 5] == 16.0           # west
     assert fd[3, 4] == 64.0           # pit sits at row+1 = north of (3,4)
+
+
+def test_fused_flow_dir_equals_composed(spark, images_df):
+    """decode_focal / decode_focal_arrow with flow_dir must be
+    bit-identical to decode_tiles -> flow_dir_tiles."""
+    from pycuda_raster_spark.operators.focal import (
+        decode_focal,
+        decode_focal_arrow,
+        flow_dir_tiles,
+    )
+
+    composed = {(r.image_id, r.ty0): r
+                for r in flow_dir_tiles(decode_tiles(images_df, tile_rows=16)).collect()}
+    fused = decode_focal(images_df, tile_rows=16, products=("flow_dir",),
+                         as_binary=False).collect()
+    assert len(fused) == len(composed)
+    for r in fused:
+        c = composed[(r.image_id, r.ty0)]
+        assert r.slope is None and r.tri is None
+        np.testing.assert_array_equal(
+            np.asarray(r.flow_dir, np.float32),
+            np.asarray(c.flow_dir, np.float32), err_msg=r.image_id)
+    arrow = decode_focal_arrow(images_df, tile_rows=16,
+                               products=("flow_dir",)).collect()
+    for r in arrow[:6]:
+        c = composed[(r.image_id, r.ty0)]
+        np.testing.assert_array_equal(
+            np.frombuffer(bytes(r.flow_dir), "<f4"),
+            np.asarray(c.flow_dir, np.float32))
+        assert bytes(r.slope) == b""
+
+
+def test_cli_flow_dir_output(spark, images_df, tmp_path):
+    """CLI fan-out accepts flow_dir alongside the gdaldem products, and
+    the regridded path routes it through flow_dir_tiles."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.operators.focal import px_f32
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out_f = str(tmp_path / "flow")
+    out_s = str(tmp_path / "slope")
+    assert main([inp, out_f, "flow_dir", out_s, "slope",
+                 "--tile-rows=16", "--cores=4"]) == 0
+    rows = spark.read.parquet(out_f).collect()
+    assert rows and all(r.flow_dir is not None for r in rows)
+    vals = np.unique(np.concatenate(
+        [px_f32(r.flow_dir) for r in rows]))
+    assert set(vals) <= {0.0, 1.0, 2.0, 4.0, 8.0, 16.0, 32.0, 64.0, 128.0,
+                         -9999.0}
+
+    out_r = str(tmp_path / "flow_resampled")
+    assert main([inp, out_r, "flow_dir", "--resample=20x24",
+                 "--tile-rows=16", "--cores=4"]) == 0
+    rows = spark.read.parquet(out_r).collect()
+    assert rows and all(r.flow_dir is not None for r in rows)
