@@ -1076,6 +1076,29 @@ def _r_crop(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_scale_stretch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear contrast stretch (gdal_translate -scale, auto src range):
+    per-image valid [min,max] -> [0,255] integer levels, NODATA pass-
+    through. One division per image + fixed-order cell math + half-up
+    round (Spark HALF_UP == DuckDB half-away for the nonnegative outputs)
+    -> the oracle re-derives every level exactly."""
+    from pycuda_raster_spark.operators.calc import scale_tiles
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    out = scale_tiles(decode_tiles(images, tile_rows=8))
+    w = 32
+    return out.select(
+        "image_id", "ty0", F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
 def _r_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """binary-payload feature extraction (multimodal plumbing). Output
     keeps the ORDER-INDEPENDENT stats (min/max of decoded pixels) so the
@@ -1843,6 +1866,33 @@ def _corpus_oracles() -> dict[str, str]:
           AND c >= {CROP_C0} AND c < {CROP_C0 + CROP_W}
     """
 
+    # contrast stretch: per-image range + one division + half-up round,
+    # all re-derived from the ground-truth pixels
+    stretch = f"""
+        WITH rng AS (
+            SELECT image_id,
+                   CAST(min(val) FILTER (WHERE val <> {nd}) AS DOUBLE) AS lo,
+                   CAST(max(val) FILTER (WHERE val <> {nd}) AS DOUBLE) AS hi
+            FROM {pixels} GROUP BY image_id
+        ),
+        s AS (
+            SELECT image_id, lo,
+                   CASE WHEN hi - lo > CAST(0 AS DOUBLE)
+                        THEN CAST(255 AS DOUBLE) / (hi - lo)
+                        ELSE CAST(0 AS DOUBLE) END AS sc
+            FROM rng
+        )
+        SELECT p.image_id, p.r, p.c,
+               CAST(CASE WHEN p.val = {nd} THEN CAST(-9999 AS FLOAT)
+                    ELSE CAST(least(greatest(
+                             round((CAST(p.val AS DOUBLE) - s.lo) * s.sc
+                                   + CAST(0 AS DOUBLE), 0),
+                             CAST(0 AS DOUBLE)), CAST(255 AS DOUBLE))
+                         AS FLOAT)
+               END AS DOUBLE) AS val
+        FROM {pixels} p JOIN s USING (image_id)
+    """
+
     multimodal = f"""
         SELECT i.image_id, i.fmt,
                min(CAST(p.val AS DOUBLE)) FILTER (WHERE p.val <> {nd}) AS min_px,
@@ -2068,6 +2118,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_mosaic": mosaic,
         "r_raster_calc": calc,
         "r_crop": crop,
+        "r_scale_stretch": stretch,
         "r_multimodal_features": multimodal,
         "q_minhash_pairs": minhash,
         "q_dedup_clusters": clusters,
@@ -2155,7 +2206,7 @@ def _shared(name: str):
 # rows-only-by-design tail.
 CONTRACT_ORDER = [
     # --- driver window: 50 fully-oracled queries -------------------------
-    "q01_pricing_summary", "q03_shipping_priority", "q05_region_revenue",
+    "q01_pricing_summary", "q03_shipping_priority",
     "q_window_topk",
     "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
     "q_salted_agg", "q_skew_join", "q_distinct_percentile", "q_pivot",
@@ -2172,7 +2223,7 @@ CONTRACT_ORDER = [
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_phash_clusters", "r_resample_bilinear", "r_warp_affine", "r_mosaic",
-    "r_raster_calc", "r_crop", "r_multimodal_features",
+    "r_raster_calc", "r_crop", "r_scale_stretch", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round). q_running_sum/q_histogram
     # --- q_running_sum/q_histogram/q_rollup moved here round 4 to make
@@ -2181,8 +2232,9 @@ CONTRACT_ORDER = [
     # --- q_distinct_percentile and q_pivot -------------------------------
     "q_running_sum", "q_histogram", "q_rollup",
     # --- q_ivf_ann likewise: its family stays evidenced in-window by
-    # --- q_ivf_ann_join (scale path) and q_ivf_ann_trained -------------
-    "q_ivf_ann",
+    # --- q_ivf_ann_join (scale path) and q_ivf_ann_trained; q05's
+    # --- SMJ/star-join row stays evidenced by q03 ----------------------
+    "q_ivf_ann", "q05_region_revenue",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
@@ -2244,6 +2296,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_mosaic": _r_mosaic,
             "r_raster_calc": _r_raster_calc,
             "r_crop": _r_crop,
+            "r_scale_stretch": _r_scale_stretch,
             "r_multimodal_features": _r_multimodal_features,
             # rows-only: engine-specific approximation (approx aggs), a
             # Spark-only hash family (xxhash64 simhash), and the banded-LSH

@@ -179,3 +179,58 @@ def crop_tiles(
         (F.col("y0") + r0 * cs).alias("y0"),
         "crs",
         F.col("__px").alias("px"))
+
+
+def scale_tiles(
+    tiles: DataFrame,
+    lo_out: float = 0.0,
+    hi_out: float = 255.0,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Linear contrast stretch (gdal_translate ``-scale`` with auto
+    src range): map each image's valid [min, max] onto [lo_out, hi_out],
+    round half-up to integer levels, clamp, NODATA passes through.
+
+    Plan shape: per-TILE extrema via ``array_min``/``array_max`` (JVM, no
+    pixel explode), a tile-count-sized groupBy per image, and a broadcast
+    join of the tiny per-image range table back onto the tiles — pixels
+    are touched exactly once, in whole-stage codegen. Degenerate flat
+    images (max == min) map valid cells to ``lo_out``.
+
+    Exactness: scale = (hi_out - lo_out) / (max - min) is ONE correctly
+    rounded division; each cell is then (v - min) * scale + lo_out and a
+    half-up round — the same doubles in Spark and DuckDB (round() agrees
+    half-away-from-zero for the nonnegative outputs used here).
+    """
+    nd = float(nodata)
+    valid = lambda: F.filter("px", lambda v: v != F.lit(nd))  # noqa: E731
+
+    per_tile = tiles.select(
+        "image_id",
+        F.array_min(valid()).alias("__tmin"),
+        F.array_max(valid()).alias("__tmax"),
+    )
+    rng = per_tile.groupBy("image_id").agg(
+        F.min("__tmin").cast("double").alias("__lo"),
+        F.max("__tmax").cast("double").alias("__hi"),
+    )
+
+    span = F.col("__hi") - F.col("__lo")
+    scale = F.when(span > 0.0,
+                   (F.lit(float(hi_out)) - F.lit(float(lo_out))) / span
+                   ).otherwise(F.lit(0.0))
+
+    def cell(v):
+        x = F.round((v.cast("double") - F.col("__lo")) * F.col("__scale")
+                    + F.lit(float(lo_out)), 0)
+        x = F.least(F.greatest(x, F.lit(float(lo_out))),
+                    F.lit(float(hi_out)))
+        return F.when(v == F.lit(nd), F.lit(nd).cast("float")
+                      ).otherwise(x.cast("float"))
+
+    out = (
+        tiles.join(F.broadcast(rng.withColumn("__scale", scale)), "image_id")
+        .withColumn("px", F.transform("px", cell))
+        .drop("__lo", "__hi", "__scale")
+    )
+    return out

@@ -142,3 +142,38 @@ def test_crop_rejects_bad_window_args(spark, images_df):
         crop_tiles(decode_tiles(images_df), -1, 0, 5, 5)
     with pytest.raises(ValueError):
         crop_tiles(decode_tiles(images_df), 0, 0, 0, 5)
+
+
+def test_scale_stretch_levels_and_edges(spark, images_df):
+    from pycuda_raster_spark.operators.calc import scale_tiles
+
+    spec = CorpusSpec(n_images=6, w=48, h=40, nodata_every=3)
+    out = scale_tiles(decode_tiles(images_df, tile_rows=13))
+    got = _grid(out.filter(F.col("px").isNotNull() &
+                           (F.col("image_id") == B_ID)))
+    src = _decoded(5, spec)
+    valid = src != NODATA
+    lo, hi = src[valid].min(), src[valid].max()
+    # integer levels spanning the full range; NODATA passes through
+    assert got[src == NODATA].tolist() == [np.float32(NODATA)] * int(
+        (~valid).sum())
+    gv = got[valid]
+    assert gv.min() == 0.0 and gv.max() == 255.0
+    assert np.array_equal(gv, np.float32(np.round(gv)))
+    # the engine's exact formula on the extrema maps to the endpoints
+    assert got[src == lo].min() == 0.0 and got[src == hi].max() == 255.0
+
+
+def test_scale_stretch_flat_image(spark):
+    import pandas as pd
+
+    flat = np.full(12, 7.5, dtype=np.float32)
+    tiles = spark.createDataFrame(pd.DataFrame({
+        "image_id": ["flat"], "tile_y": [0], "ty0": [0], "th": [3],
+        "w": [4], "h": [3], "cellsize": [1.0], "x0": [0.0], "y0": [0.0],
+        "crs": ["EPSG:4326"], "px": [flat.tolist()],
+    }))
+    from pycuda_raster_spark.operators.calc import scale_tiles
+
+    r = scale_tiles(tiles).collect()[0]
+    assert r.px == [0.0] * 12  # degenerate range maps valid cells to lo_out
