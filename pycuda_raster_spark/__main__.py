@@ -9,8 +9,9 @@ engine keeps that exact shape:
 
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
-hillshade, tri, tpi, roughness} (the gdaldem product set), plus "dem"
-(the elevation itself — useful with --resample). Each OUT receives a
+hillshade, tri, tpi, roughness, flow_dir} (the gdaldem product set plus
+D8 flow direction), plus "dem" (the elevation itself — useful with
+--resample). Each OUT receives a
 parquet tile table for its product (one input pass computes all
 requested products — the reference's multi-output fan-out).
 
@@ -33,6 +34,11 @@ size --mosaic-dcell (default: min source cellsize), merge rule
 --mosaic-rule=first|last|max|min (default first), then compute the
 product list on the composite. Mutually exclusive with the other
 regrid modes.
+
+--crop=R0,C0,HxW (gdal_translate -srcwin, r4): cut the window rows
+[R0, R0+H) x cols [C0, C0+W) (south-up row order) out of every DEM
+first, then compute the products on the cropped grid. Mutually
+exclusive with the other regrid modes.
 """
 
 from __future__ import annotations
@@ -53,10 +59,12 @@ def main(argv: list[str]) -> int:
     resample = opts.get("resample")
     warp = opts.get("warp")
     mosaic = opts.get("mosaic")
-    if sum(bool(m) for m in (resample, warp, mosaic)) > 1:
-        print("--resample / --warp / --mosaic are mutually exclusive")
+    crop = opts.get("crop")
+    if sum(bool(m) for m in (resample, warp, mosaic, crop)) > 1:
+        print("--resample / --warp / --mosaic / --crop are mutually exclusive")
         return 2
-    allowed = ALL_PRODUCTS + (("dem",) if (resample or warp or mosaic) else ())
+    allowed = ALL_PRODUCTS + (
+        ("dem",) if (resample or warp or mosaic or crop) else ())
     bad = set(products) - set(allowed)
     if bad:
         print(f"unknown products: {sorted(bad)}; available: {allowed}")
@@ -106,6 +114,20 @@ def main(argv: list[str]) -> int:
 
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"warp {out_h}x{out_w} {method}")
+        return 0
+    if crop:
+        # --crop=R0,C0,HxW  (gdal_translate -srcwin, south-up rows)
+        pos, dims = crop.rsplit(",", 1)
+        r0, c0 = (int(v) for v in pos.split(","))
+        ch, cw = (int(v) for v in dims.lower().split("x"))
+
+        def regrid(tiles):
+            from .operators.calc import crop_tiles
+
+            return crop_tiles(tiles, r0, c0, ch, cw)
+
+        _run_regridded(spark, images, pairs, products, tile_rows,
+                       regrid, f"crop {r0},{c0} {ch}x{cw}")
         return 0
     if mosaic:
         out_h, out_w = (int(x) for x in mosaic.lower().split("x"))

@@ -177,3 +177,33 @@ def test_scale_stretch_flat_image(spark):
 
     r = scale_tiles(tiles).collect()[0]
     assert r.px == [0.0] * 12  # degenerate range maps valid cells to lo_out
+
+
+def test_cli_crop_then_products(spark, images_df, tmp_path):
+    """--crop composes the srcwin cut with the product pipeline (same
+    runner as --resample/--warp): slope on the cropped grid equals slope
+    of the NumPy-cropped source."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.functions.focal_kernels import horn_products
+
+    spec = CorpusSpec(n_images=6, w=48, h=40, nodata_every=3)
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out_s = str(tmp_path / "slope")
+    out_d = str(tmp_path / "dem")
+    assert main([inp, out_s, "slope", out_d, "dem",
+                 "--crop=5,7,20x9", "--tile-rows=16", "--cores=4"]) == 0
+
+    dem = _grid(spark.read.parquet(out_d)
+                .withColumnRenamed("dem", "px")
+                .filter(F.col("image_id") == A_ID))
+    src = _decoded(0, spec)[5:25, 7:16]
+    assert np.array_equal(dem, src)
+
+    got = _grid(spark.read.parquet(out_s)
+                .withColumnRenamed("slope", "px")
+                .filter(F.col("image_id") == A_ID))
+    cs = float(spark.read.parquet(out_d)
+               .filter(F.col("image_id") == A_ID).first().cellsize)
+    want, _, _ = horn_products(src, cs)
+    assert np.array_equal(got, want)
