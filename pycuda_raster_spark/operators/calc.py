@@ -193,9 +193,12 @@ def scale_tiles(
 
     Plan shape: per-TILE extrema via ``array_min``/``array_max`` (JVM, no
     pixel explode), a tile-count-sized groupBy per image, and a broadcast
-    join of the tiny per-image range table back onto the tiles — pixels
-    are touched exactly once, in whole-stage codegen. Degenerate flat
-    images (max == min) map valid cells to ``lo_out``.
+    join of the tiny per-image range table back onto the tiles — the
+    stretch itself is whole-stage codegen. Auto-range scaling is
+    inherently TWO passes over the tiles (range first, then stretch);
+    ``cache()``/``localCheckpoint()`` the tiles DataFrame before calling
+    if recomputing its lineage (e.g. decode) twice matters. Degenerate
+    flat images (max == min) map valid cells to ``lo_out``.
 
     Exactness: scale = (hi_out - lo_out) / (max - min) is ONE correctly
     rounded division; each cell is then (v - min) * scale + lo_out and a

@@ -176,3 +176,21 @@ def test_text_ops_are_python_free(spark):
     plan = plan_of(out)
     for marker in ("PythonUDF", "BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert marker not in plan
+
+
+def test_scale_stretch_broadcasts_range_and_stays_jvm(spark):
+    """gdal_translate -scale: the per-image range table must come back as
+    a broadcast join (never a shuffled join keyed by pixels) and the
+    stretch itself must be pure JVM (no Python stage)."""
+    from pycuda_raster_spark.operators.calc import scale_tiles
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    out = scale_tiles(decode_tiles(images_df(spark, SPEC), tile_rows=16))
+    plan = plan_of(out)
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan
+    # auto-range scaling is inherently two-pass (range pre-pass + stretch
+    # pass) -> the decode Python stage appears once per pass and the
+    # stretch itself is codegen'd. Callers cache/persist tiles to make it
+    # one decode (see scale_tiles docstring).
+    assert plan.lower().count("mapinpandas") == 2
