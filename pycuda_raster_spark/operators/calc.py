@@ -92,7 +92,8 @@ def raster_calc(
     a = (tiles.filter(F.col("image_id") == a_id).select(*cols))
     b = (tiles.filter(F.col("image_id") == b_id)
          .select("tile_y", F.col("th").alias("__bth"),
-                 F.col("w").alias("__bw"), F.col("px").alias("__bpx")))
+                 F.col("w").alias("__bw"), F.col("h").alias("__bh"),
+                 F.col("px").alias("__bpx")))
 
     joined = a.join(b, "tile_y")
 
@@ -100,7 +101,8 @@ def raster_calc(
     # wrapped in when(assert_true(..).isNull(), ..)) — a free-standing
     # asserted column would be pruned away by Catalyst before evaluating
     shape_ok = F.assert_true(
-        (F.col("th") == F.col("__bth")) & (F.col("w") == F.col("__bw")),
+        (F.col("th") == F.col("__bth")) & (F.col("w") == F.col("__bw"))
+        & (F.col("h") == F.col("__bh")),
         F.lit(f"raster_calc: {a_id} and {b_id} band shapes "
               "differ — rasters must share one grid"))
 
@@ -135,7 +137,9 @@ def crop_tiles(
     ``tile_y`` stays the source band index (still strictly increasing
     with ``ty0``, which is all the exporters and downstream operators
     key on). Requesting a window that leaves the grid raises (JVM
-    ``assert_true``, fails fast on the first offending image).
+    ``assert_true`` folded into the band FILTER so it evaluates on every
+    band BEFORE rows are discarded — a window entirely beyond the row
+    extent fails fast too, instead of silently filtering to empty).
     """
     if min(r0, c0) < 0 or min(out_h, out_w) < 1:
         raise ValueError("crop window must be non-negative with size >= 1")
@@ -161,8 +165,9 @@ def crop_tiles(
     # source columns (observed: slice stride 9 instead of 32)
     sliced = (
         tiles
-        .filter((F.col("ty0") < r0 + out_h)
-                & (F.col("ty0") + F.col("th") > r0))
+        .filter(F.when(fits.isNull(),
+                       (F.col("ty0") < r0 + out_h)
+                       & (F.col("ty0") + F.col("th") > r0)))
         .withColumn("__px", F.when(fits.isNull(), F.flatten(F.transform(
             F.sequence((lo - F.col("ty0")).cast("int"),
                        (hi - F.col("ty0")).cast("int") - 1),
@@ -186,6 +191,7 @@ def scale_tiles(
     lo_out: float = 0.0,
     hi_out: float = 255.0,
     nodata: float = NODATA,
+    pinned: bool = True,
 ) -> DataFrame:
     """Linear contrast stretch (gdal_translate ``-scale`` with auto
     src range): map each image's valid [min, max] onto [lo_out, hi_out],
@@ -196,8 +202,12 @@ def scale_tiles(
     join of the tiny per-image range table back onto the tiles — the
     stretch itself is whole-stage codegen. Auto-range scaling is
     inherently TWO passes over the tiles (range first, then stretch);
-    ``cache()``/``localCheckpoint()`` the tiles DataFrame before calling
-    if recomputing its lineage (e.g. decode) twice matters. Degenerate
+    ``pinned=True`` (default) pins the input with an eager
+    ``localCheckpoint`` — the leak-free persist (ContextCleaner frees
+    blocks when the frame goes unreachable) — so an expensive lineage
+    (e.g. decode) runs ONCE; pass ``pinned=False`` when the caller
+    already cached (tradeoff at cluster scale: truncated lineage means a
+    lost block fails the job instead of recomputing). Degenerate
     flat images (max == min) map valid cells to ``lo_out``.
 
     Exactness: scale = (hi_out - lo_out) / (max - min) is ONE correctly
@@ -206,6 +216,8 @@ def scale_tiles(
     half-away-from-zero for the nonnegative outputs used here).
     """
     nd = float(nodata)
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
     valid = lambda: F.filter("px", lambda v: v != F.lit(nd))  # noqa: E731
 
     per_tile = tiles.select(

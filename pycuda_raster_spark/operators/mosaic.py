@@ -66,11 +66,20 @@ def mosaic_tiles(
     out_tile_rows: int = 8,
     nodata: float = NODATA,
     image_id: str = "mosaic",
+    max_depth: int = 64,
 ) -> DataFrame:
     """Mosaic every image in ``tiles`` onto the ``out_h x out_w`` canvas
     with origin ``(x0, y0)`` and cell size ``dcell`` -> a tiles-shaped
     DataFrame for ONE composite image (``image_id``), ready for the same
-    focal/zonal/export pipeline as any decoded raster."""
+    focal/zonal/export pipeline as any decoded raster.
+
+    The output carries ONE crs: ``dest_crs`` when given, else the sources'
+    shared label — mixed source crs without ``dest_crs`` fails fast via a
+    JVM assert (crs is NOT a grouping key, so label drift can no longer
+    split a canvas tile into duplicate composites). ``max_depth`` bounds
+    the per-tile merge payload (overlap depth x tile pixels); a canvas
+    tile covered by more sources fails fast instead of building a giant
+    row AQE cannot split — raise it deliberately for deep stacks."""
     if rule not in RULES:
         raise ValueError(f"unsupported merge rule {rule} ({'/'.join(RULES)})")
     warped = warp_affine_tiles(
@@ -81,17 +90,33 @@ def mosaic_tiles(
     nd = F.lit(float(nodata)).cast("float")
     init = F.array_repeat(nd, (F.col("th") * F.col("w")).cast("int"))
     merge = _merge_fn(rule, nd)
+    # folded into px (a pruned free-standing assert column never runs):
+    # sources must agree on crs within the tile unless dest_crs overrides,
+    # and the overlap stack must stay within the documented depth bound
+    def guarded_px(crs_ok):
+        depth_ok = F.assert_true(
+            F.size("__srcs") <= F.lit(int(max_depth)),
+            F.lit("mosaic_tiles: overlap depth exceeds max_depth — "
+                  "raise max_depth for deep stacks"))
+        fold = F.aggregate(
+            "__srcs", init, lambda acc, s: F.zip_with(acc, s["px"], merge))
+        return F.when(depth_ok.isNull() & crs_ok.isNull(), fold)
+
+    crs_ok = F.assert_true(
+        F.lit(dest_crs is not None) | (F.col("__crs_min") == F.col("__crs_max")),
+        F.lit("mosaic_tiles: sources carry mixed crs labels — pass "
+              "dest_crs to resolve the output crs"))
     merged = (
         warped.groupBy("tile_y", "ty0", "th", "w", "h", "cellsize",
-                       "x0", "y0", "crs")
+                       "x0", "y0")
         .agg(F.array_sort(
-            F.collect_list(F.struct("image_id", "px"))).alias("__srcs"))
-        .withColumn(
-            "px",
-            F.aggregate(
-                "__srcs", init,
-                lambda acc, s: F.zip_with(acc, s["px"], merge)))
-        .drop("__srcs")
+            F.collect_list(F.struct("image_id", "px"))).alias("__srcs"),
+            F.min("crs").alias("__crs_min"),
+            F.max("crs").alias("__crs_max"))
+        .withColumn("px", guarded_px(crs_ok))
+        .withColumn("crs", F.lit(dest_crs) if dest_crs is not None
+                    else F.col("__crs_min"))
+        .drop("__srcs", "__crs_min", "__crs_max")
     )
     return merged.select(
         F.lit(image_id).alias("image_id"), "tile_y", "ty0", "th", "w", "h",

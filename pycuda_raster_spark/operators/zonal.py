@@ -186,7 +186,7 @@ def rasterize_zones(tiles: DataFrame, zones: DataFrame,
         first = pdf.iloc[0]
         th, w, cs_ = int(first.th), int(first.w), float(first.cellsize)
         xs = first.x0 + (np.arange(w) + 0.5) * cs_
-        ys = first.y0 + (int(first.ty0) + np.arange(th)) * cs_ + 0.5 * cs_
+        ys = first.y0 + (int(first.ty0) + np.arange(th) + 0.5) * cs_
         gx, gy = np.meshgrid(xs, ys)
         gx, gy = gx.ravel(), gy.ravel()
         mask = np.full(gx.shape, -1, dtype=np.int64)

@@ -207,3 +207,26 @@ def test_cli_crop_then_products(spark, images_df, tmp_path):
                .filter(F.col("image_id") == A_ID).first().cellsize)
     want, _, _ = horn_products(src, cs)
     assert np.array_equal(got, want)
+
+
+def test_raster_calc_rejects_band_count_mismatch(spark, images_df):
+    """B shorter than A with the SAME tiling: matched bands agree on
+    th/w, so only the h-equality assert catches the mispair (previously
+    A's tail bands were silently dropped)."""
+    tiles = decode_tiles(images_df, tile_rows=8)
+    b_short = crop_tiles(tiles.filter(F.col("image_id") == B_ID),
+                         0, 0, 24, 48)  # h=24 vs A's 40, same w + tiling
+    mixed = (tiles.filter(F.col("image_id") == A_ID).select(*TILE_COLS)
+             .unionByName(b_short.select(*TILE_COLS)))
+    bad = raster_calc(mixed, A_ID, B_ID, ops=("add",))
+    with pytest.raises(Exception, match="band shapes differ|ASSERT"):
+        bad.collect()
+
+
+def test_crop_fully_off_grid_raises(spark, images_df):
+    """A window entirely beyond the row extent must fail fast (the
+    assert lives in the band filter, so it evaluates before every band
+    is discarded), not silently return an empty DataFrame."""
+    out = crop_tiles(decode_tiles(images_df, tile_rows=8), 100, 0, 5, 5)
+    with pytest.raises(Exception, match="exceeds the raster extent|ASSERT"):
+        out.collect()

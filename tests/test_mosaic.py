@@ -156,3 +156,35 @@ def test_cli_mosaic_then_products(spark, images_df, tmp_path):
     g, hdr = decode_geotiff((out / "mosaic.tif").read_bytes())
     np.testing.assert_array_equal(g, got)
     assert hdr["cellsize"] == cs and hdr["x0"] == 0.0 and hdr["y0"] == 0.0
+
+
+def test_mosaic_mixed_crs_requires_dest_crs(spark, images_df):
+    """Sources with different crs labels: without dest_crs the merge must
+    fail fast (previously the canvas tile silently split into one
+    composite row per crs); with dest_crs the output is a single grid
+    carrying that label."""
+    gx0, gy0, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    H = W = SPEC.w * 2
+    tiles = decode_tiles(images_df, tile_rows=8).withColumn(
+        "crs", F.when(F.col("image_id") == "img000000",
+                      F.lit("EPSG:32632")).otherwise(F.col("crs")))
+    with pytest.raises(Exception, match="mixed crs|ASSERT"):
+        mosaic_tiles(tiles, H, W, cs, 0.0, 0.0, out_tile_rows=8).collect()
+
+    rows = mosaic_tiles(tiles, H, W, cs, 0.0, 0.0, out_tile_rows=8,
+                        dest_crs="EPSG:4326").collect()
+    assert rows and all(r.crs == "EPSG:4326" for r in rows)
+    # exactly one composite row per canvas band — no crs-keyed duplicates
+    assert len(rows) == len({r.tile_y for r in rows})
+
+
+def test_mosaic_depth_guard(spark, images_df):
+    """max_depth bounds the per-tile merge payload: the 4-image corpus
+    exceeds max_depth=1 and must fail fast instead of folding a giant
+    row; the default bound passes (covered by the twin tests)."""
+    gx0, gy0, cs = image_geo(0, SPEC.n_images, SPEC.w)
+    H = W = SPEC.w * 2
+    tiles = decode_tiles(images_df, tile_rows=8)
+    with pytest.raises(Exception, match="max_depth|ASSERT"):
+        mosaic_tiles(tiles, H, W, cs, 0.0, 0.0, out_tile_rows=8,
+                     max_depth=1).collect()

@@ -185,12 +185,17 @@ def test_scale_stretch_broadcasts_range_and_stays_jvm(spark):
     from pycuda_raster_spark.operators.calc import scale_tiles
     from pycuda_raster_spark.operators.decode import decode_tiles
 
-    out = scale_tiles(decode_tiles(images_df(spark, SPEC), tile_rows=16))
+    decoded = decode_tiles(images_df(spark, SPEC), tile_rows=16)
+    out = scale_tiles(decoded)
     plan = plan_of(out)
     assert "BroadcastHashJoin" in plan, plan
     assert "SortMergeJoin" not in plan
-    # auto-range scaling is inherently two-pass (range pre-pass + stretch
-    # pass) -> the decode Python stage appears once per pass and the
-    # stretch itself is codegen'd. Callers cache/persist tiles to make it
-    # one decode (see scale_tiles docstring).
-    assert plan.lower().count("mapinpandas") == 2
+    # pinned=True (default) localCheckpoints the input: the decode Python
+    # stage ran ONCE at pin time and the two-pass stretch reads pinned
+    # blocks — zero Python stages left in the plan.
+    assert plan.lower().count("mapinpandas") == 0, plan
+
+    # pinned=False is the caller-managed path: auto-range scaling is
+    # inherently two-pass, so the decode stage appears once per pass.
+    unpinned = plan_of(scale_tiles(decoded, pinned=False))
+    assert unpinned.lower().count("mapinpandas") == 2
