@@ -39,6 +39,14 @@ regrid modes.
 [R0, R0+H) x cols [C0, C0+W) (south-up row order) out of every DEM
 first, then compute the products on the cropped grid. Mutually
 exclusive with the other regrid modes.
+
+--reproject=HxW (gdalwarp -t_srs, r5): true CRS reprojection of every
+DEM onto an H-rows x W-cols grid in --reproject-to=EPSG:3857|EPSG:4326
+(default EPSG:3857), headers interpreted in --reproject-from (default
+EPSG:4326), cell size --reproject-dcell (default: the source cellsize
+converted at equator scale), --reproject-method=nearest|bilinear
+(default bilinear). Dest origin is the projected source origin.
+Mutually exclusive with the other regrid modes.
 """
 
 from __future__ import annotations
@@ -60,11 +68,13 @@ def main(argv: list[str]) -> int:
     warp = opts.get("warp")
     mosaic = opts.get("mosaic")
     crop = opts.get("crop")
-    if sum(bool(m) for m in (resample, warp, mosaic, crop)) > 1:
-        print("--resample / --warp / --mosaic / --crop are mutually exclusive")
+    reproject = opts.get("reproject")
+    if sum(bool(m) for m in (resample, warp, mosaic, crop, reproject)) > 1:
+        print("--resample / --warp / --mosaic / --crop / --reproject "
+              "are mutually exclusive")
         return 2
     allowed = ALL_PRODUCTS + (
-        ("dem",) if (resample or warp or mosaic or crop) else ())
+        ("dem",) if (resample or warp or mosaic or crop or reproject) else ())
     bad = set(products) - set(allowed)
     if bad:
         print(f"unknown products: {sorted(bad)}; available: {allowed}")
@@ -114,6 +124,32 @@ def main(argv: list[str]) -> int:
 
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"warp {out_h}x{out_w} {method}")
+        return 0
+    if reproject:
+        out_h, out_w = (int(x) for x in reproject.lower().split("x"))
+        src = opts.get("reproject-from", "EPSG:4326")
+        dst = opts.get("reproject-to", "EPSG:3857")
+        dcell = opts.get("reproject-dcell")
+        method = opts.get("reproject-method", "bilinear")
+
+        def regrid(tiles):
+            from pyspark.sql import functions as F
+
+            from .functions import mercator as mc
+            from .operators.reproject import reproject_tiles
+
+            if dcell is not None:
+                dc = float(dcell)
+            else:
+                cs = float(tiles.select(F.min("cellsize")).first()[0])
+                dc = ((cs * mc.RAD) * mc.RM if dst == "EPSG:3857"
+                      else (cs / mc.RM) * mc.DEG)
+            return reproject_tiles(tiles, out_h, out_w, dc, src_crs=src,
+                                   dst_crs=dst, method=method,
+                                   out_tile_rows=tile_rows)
+
+        _run_regridded(spark, images, pairs, products, tile_rows,
+                       regrid, f"reproject {out_h}x{out_w} {dst} {method}")
         return 0
     if crop:
         # --crop=R0,C0,HxW  (gdal_translate -srcwin, south-up rows)
