@@ -1065,6 +1065,95 @@ def _r_flow_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_flow_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D8 flow accumulation (strictly-upstream cell counts over the
+    flow_dir graph — the query hydrology users run right after flow
+    direction). Pure integer counts on an exact integer graph, so the
+    DuckDB recursive-CTE oracle (transitive upstream closure + count,
+    the q_dedup_clusters pattern) matches value-exactly. The engine side
+    is the two-pass tiled algorithm (band partials -> slim port routing
+    -> seeded finalize; operators/hydro.py), so this row also pins the
+    distributed path against the whole-grid semantics."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import flow_accum_tiles
+
+    images, _, _ = _corpus(spark)
+    out = flow_accum_tiles(flow_dir_tiles(decode_tiles(images, tile_rows=8)))
+    w = 32
+    return out.select(
+        "image_id", "ty0", F.posexplode("flow_accum").alias("pos", "v")
+    ).filter(F.col("v") != -9999.0).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("v").cast("long").alias("acc"),
+    )
+
+
+def _r_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overview pyramid (gdaladdo parity): /2 and /4 nearest levels of
+    every corpus image in one tiles table. Level k is bit-identical to
+    the standalone /k resample (pure integer sampling, values pass
+    through), so the oracle re-derives every level pixel from the
+    ground-truth table with the rational-position formula."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.overviews import build_overviews
+
+    images, _, _ = _corpus(spark)
+    out = build_overviews(decode_tiles(images, tile_rows=8), levels=(2, 4),
+                          method="nearest", base_h=32, base_w=32)
+    return out.select(
+        "image_id", "level", "ty0", "w",
+        F.posexplode("px").alias("pos", "v")
+    ).select(
+        "image_id", "level",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.col("w")))
+                         / F.col("w"))).cast("int").alias("r"),
+        F.pmod("pos", F.col("w")).cast("int").alias("c"),
+        F.col("v").cast("double").alias("val"),
+    )
+
+
+CONTOUR_LEVELS = (104.0, 112.0, 1024.0)  # exact literals in both engines
+
+
+def _r_contour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contour lines (gdal_contour parity): marching-squares segments at
+    two levels over every corpus image. Every endpoint is a fixed-order
+    double chain (one subtraction + one division for the interpolation,
+    then the resample-style position fold), so the SQL twin reproduces
+    each coordinate bit-for-bit — the oracle compares raw endpoint
+    doubles, no rounding."""
+    from pycuda_raster_spark.operators.contour import contour_tiles
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    return contour_tiles(decode_tiles(images, tile_rows=8), CONTOUR_LEVELS)
+
+
+def _r_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raster -> vector region extraction (gdal_polygonize parity): the
+    corpus DEMs quantized into classes (floor(v/16) — exact in both
+    engines), then 4-connected equal-valued regions labeled with their
+    min flat cell index. Pure integer graph -> the DuckDB undirected
+    reachability + MIN oracle (q_dedup_clusters pattern) matches
+    value-exactly. The engine side is the two-level tiled algorithm
+    (band-local GPU-style label equivalence + slim seam resolution via
+    pointer jumping; operators/vectorize.py)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.vectorize import polygonize_tiles
+
+    images, _, _ = _corpus(spark)
+    tiles = decode_tiles(images, tile_rows=8).withColumn(
+        "px", F.transform(
+            "px", lambda v: F.when(v == F.lit(-9999.0), v)
+            .otherwise(F.floor(v / F.lit(16.0)).cast("float"))))
+    return polygonize_tiles(tiles).select(
+        "image_id", "label", "val", "n_cells", "r0", "r1", "c0", "c1")
+
+
 # raster-calc pair: img000008 carries the corpus NODATA patch, so the
 # algebra's NODATA propagation is exercised; crop window chosen to split
 # across band boundaries at tile_rows=8 (rows 5..24 touch 3 bands)
@@ -1537,6 +1626,184 @@ def _corpus_oracles() -> dict[str, str]:
         FROM m
     """
 
+    # flow accumulation: the dir codes above -> D8 edges (both endpoints
+    # dir-valid; south-up offsets match operators/hydro.D8_DR/DC) ->
+    # recursive upstream closure -> count per cell. The flow graph is a
+    # DAG (strictly-downhill elevation) with one unique path per source,
+    # so the closure terminates and counts need no dedup; integers only.
+    _dir_case = """CAST(CASE WHEN maxd <= CAST(0 AS DOUBLE) THEN 0
+                         WHEN d_e  = maxd THEN 1
+                         WHEN d_se = maxd THEN 2
+                         WHEN d_s  = maxd THEN 4
+                         WHEN d_sw = maxd THEN 8
+                         WHEN d_w  = maxd THEN 16
+                         WHEN d_nw = maxd THEN 32
+                         WHEN d_n  = maxd THEN 64
+                         ELSE 128 END AS INT)"""
+    flow_accum = f"""
+        WITH RECURSIVE {horn_win},
+        dr AS (
+            SELECT image_id, r, c,
+                   (ee - f)          AS d_e,
+                   (ee - cc) * {is2} AS d_se,
+                   (ee - b)          AS d_s,
+                   (ee - a) * {is2}  AS d_sw,
+                   (ee - d)          AS d_w,
+                   (ee - g) * {is2}  AS d_nw,
+                   (ee - h)          AS d_n,
+                   (ee - i2) * {is2} AS d_ne
+            FROM win
+        ),
+        m AS (
+            SELECT *, greatest(d_e, d_se, d_s, d_sw,
+                               d_w, d_nw, d_n, d_ne) AS maxd
+            FROM dr
+        ),
+        dirs AS (
+            SELECT image_id, r, c, {_dir_case} AS code FROM m
+        ),
+        edges AS (
+            SELECT d.image_id, d.r, d.c,
+                   d.r + CASE WHEN d.code IN (2, 4, 8) THEN -1
+                              WHEN d.code IN (32, 64, 128) THEN 1
+                              ELSE 0 END AS tr,
+                   d.c + CASE WHEN d.code IN (1, 2, 128) THEN 1
+                              WHEN d.code IN (8, 16, 32) THEN -1
+                              ELSE 0 END AS tc
+            FROM dirs d WHERE d.code > 0
+        ),
+        e2 AS (
+            SELECT e.image_id, e.r, e.c, e.tr, e.tc
+            FROM edges e JOIN dirs t
+              ON t.image_id = e.image_id AND t.r = e.tr AND t.c = e.tc
+        ),
+        reach AS (
+            SELECT image_id, r AS ur, c AS uc, tr AS vr, tc AS vc FROM e2
+            UNION ALL
+            SELECT p.image_id, p.ur, p.uc, e.tr, e.tc
+            FROM reach p JOIN e2 e
+              ON e.image_id = p.image_id AND e.r = p.vr AND e.c = p.vc
+        ),
+        n AS (
+            SELECT image_id, vr AS r, vc AS c,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM reach GROUP BY image_id, vr, vc
+        )
+        SELECT d.image_id, d.r, d.c,
+               coalesce(n.acc, CAST(0 AS BIGINT)) AS acc
+        FROM dirs d LEFT JOIN n
+          ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+    """
+
+    # polygonize: 4-connected equal-class regions labeled by min flat
+    # index — undirected reachability closure + MIN (the q_dedup_clusters
+    # recursive pattern); class = floor(v/16) is exact in both engines
+    # (divide by 2^4 + floor on identical doubles). Counts/bboxes are
+    # integers; UNION (set) semantics terminate the closure on cycles.
+    polygonize = f"""
+        WITH RECURSIVE pxc AS (
+            SELECT image_id, r, c, r * 32 + c AS node,
+                   floor(CAST(val AS DOUBLE) / 16.0) AS v
+            FROM {pixels} WHERE val <> CAST(-9999 AS FLOAT)
+        ),
+        ed AS (
+            SELECT a.image_id, a.node AS u, b.node AS w
+            FROM pxc a JOIN pxc b
+              ON b.image_id = a.image_id AND b.v = a.v
+             AND ((b.r = a.r AND b.c = a.c + 1)
+                  OR (b.r = a.r + 1 AND b.c = a.c))
+        ),
+        und AS (
+            SELECT image_id, u, w FROM ed
+            UNION SELECT image_id, w AS u, u AS w FROM ed
+        ),
+        reach AS (
+            SELECT image_id, node AS src, node AS dst FROM pxc
+            UNION
+            SELECT p.image_id, p.src, und.w AS dst
+            FROM reach p JOIN und
+              ON und.image_id = p.image_id AND und.u = p.dst
+        ),
+        lab AS (
+            SELECT image_id, src AS node, MIN(dst) AS label
+            FROM reach GROUP BY image_id, src
+        )
+        SELECT l.image_id, l.label, MIN(p.v) AS val,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(MIN(p.r) AS INT) AS r0, CAST(MAX(p.r) AS INT) AS r1,
+               CAST(MIN(p.c) AS INT) AS c0, CAST(MAX(p.c) AS INT) AS c1
+        FROM lab l JOIN pxc p
+          ON p.image_id = l.image_id AND p.node = l.node
+        GROUP BY l.image_id, l.label
+    """
+
+    # contour: marching squares re-derived per 2x2 window. Corner state
+    # v > L; edges in fixed order a=(P00,P01) b=(P01,P11) c=(P11,P10)
+    # d=(P10,P00); crossing t = (L - first)/(second - first); world
+    # coords in the engine's exact op order; crossings paired in edge
+    # order -> slot 0 (+ slot 1 for the 4-crossing saddle).
+    _ct_pa = ("g.x0 + ((CAST(w.c AS DOUBLE) + 0.5)"
+              " + (lv.L - w.v00) / (w.v01 - w.v00)) * g.cellsize")
+    _ct_pay = "g.y0 + (CAST(w.r AS DOUBLE) + 0.5) * g.cellsize"
+    _ct_pbx = "g.x0 + (CAST(w.c AS DOUBLE) + 1.5) * g.cellsize"
+    _ct_pb = ("g.y0 + ((CAST(w.r AS DOUBLE) + 0.5)"
+              " + (lv.L - w.v01) / (w.v11 - w.v01)) * g.cellsize")
+    _ct_pc = ("g.x0 + ((CAST(w.c AS DOUBLE) + 1.5)"
+              " - (lv.L - w.v11) / (w.v10 - w.v11)) * g.cellsize")
+    _ct_pcy = "g.y0 + (CAST(w.r AS DOUBLE) + 1.5) * g.cellsize"
+    _ct_pdx = "g.x0 + (CAST(w.c AS DOUBLE) + 0.5) * g.cellsize"
+    _ct_pd = ("g.y0 + ((CAST(w.r AS DOUBLE) + 1.5)"
+              " - (lv.L - w.v10) / (w.v00 - w.v10)) * g.cellsize")
+    contour = f"""
+        WITH geo AS (SELECT image_id, x0, y0, cellsize FROM {images}),
+        cpx AS (SELECT image_id, r, c, CAST(val AS DOUBLE) AS v
+                FROM {pixels} WHERE val <> CAST(-9999 AS FLOAT)),
+        cwin AS (
+            SELECT p00.image_id, p00.r, p00.c,
+                   p00.v AS v00, p01.v AS v01, p11.v AS v11, p10.v AS v10
+            FROM cpx p00
+            JOIN cpx p01 ON p01.image_id = p00.image_id
+                        AND p01.r = p00.r AND p01.c = p00.c + 1
+            JOIN cpx p11 ON p11.image_id = p00.image_id
+                        AND p11.r = p00.r + 1 AND p11.c = p00.c + 1
+            JOIN cpx p10 ON p10.image_id = p00.image_id
+                        AND p10.r = p00.r + 1 AND p10.c = p00.c
+        ),
+        lvl AS (SELECT unnest(ARRAY[CAST(104.0 AS DOUBLE),
+                                    CAST(112.0 AS DOUBLE),
+                                    CAST(1024.0 AS DOUBLE)]) AS L),
+        cr AS (
+            SELECT w.image_id, w.r, w.c, lv.L,
+                   (w.v00 > lv.L) <> (w.v01 > lv.L) AS ea,
+                   (w.v01 > lv.L) <> (w.v11 > lv.L) AS eb,
+                   (w.v11 > lv.L) <> (w.v10 > lv.L) AS ec,
+                   (w.v10 > lv.L) <> (w.v00 > lv.L) AS ed,
+                   {_ct_pa} AS pax, {_ct_pay} AS pay,
+                   {_ct_pbx} AS pbx, {_ct_pb} AS pby,
+                   {_ct_pc} AS pcx, {_ct_pcy} AS pcy,
+                   {_ct_pdx} AS pdx, {_ct_pd} AS pdy
+            FROM cwin w JOIN geo g USING (image_id), lvl lv
+        )
+        SELECT image_id, L AS level, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+               CAST(0 AS INT) AS seg,
+               CASE WHEN ea THEN pax WHEN eb THEN pbx ELSE pcx END AS x1,
+               CASE WHEN ea THEN pay WHEN eb THEN pby ELSE pcy END AS y1,
+               CASE WHEN ea THEN (CASE WHEN eb THEN pbx
+                                       WHEN ec THEN pcx ELSE pdx END)
+                    WHEN eb THEN (CASE WHEN ec THEN pcx ELSE pdx END)
+                    ELSE pdx END AS x2,
+               CASE WHEN ea THEN (CASE WHEN eb THEN pby
+                                       WHEN ec THEN pcy ELSE pdy END)
+                    WHEN eb THEN (CASE WHEN ec THEN pcy ELSE pdy END)
+                    ELSE pdy END AS y2
+        FROM cr WHERE ea OR eb OR ec OR ed
+        UNION ALL
+        SELECT image_id, L AS level, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+               CAST(1 AS INT) AS seg, pcx AS x1, pcy AS y1,
+               pdx AS x2, pdy AS y2
+        FROM cr WHERE ea AND eb AND ec AND ed
+    """
+
     # color-relief: the engine's CASE chain replayed literally (every
     # numeric literal CAST to DOUBLE — bare decimals parse as DECIMAL in
     # DuckDB); packed ints sum exactly
@@ -1679,6 +1946,25 @@ def _corpus_oracles() -> dict[str, str]:
         WHERE p.r = (2 * rr.ro + 1) * 32 // 48
           AND p.c = (2 * cc.co + 1) * 32 // 40
     """
+
+    # overview pyramid: each /k level is the standalone nearest resample
+    # (same rational formula), one UNION ALL per level
+    def _ovr_level(k: int) -> str:
+        oh = -(-32 // k)
+        return f"""
+        SELECT p.image_id, CAST({k} AS INT) AS level,
+               CAST(rr.ro AS INT) AS r, CAST(cc.co AS INT) AS c,
+               CAST(p.val AS DOUBLE) AS val
+        FROM (SELECT CAST(v AS BIGINT) AS ro
+              FROM unnest(generate_series(0, {oh - 1})) AS t(v)) rr,
+             (SELECT CAST(v AS BIGINT) AS co
+              FROM unnest(generate_series(0, {oh - 1})) AS t(v)) cc,
+             {pixels} p
+        WHERE p.r = (2 * rr.ro + 1) * 32 // {2 * oh}
+          AND p.c = (2 * cc.co + 1) * 32 // {2 * oh}
+        """
+
+    overviews_sql = " UNION ALL ".join(_ovr_level(k) for k in (2, 4))
 
     resample_b = f"""
         WITH r2 AS (
@@ -2232,6 +2518,9 @@ def _corpus_oracles() -> dict[str, str]:
         "r_zonal_slope": zonal_slope,
         "r_hillshade_md": hillshade_md,
         "r_flow_dir": flow,
+        "r_flow_accum": flow_accum,
+        "r_polygonize": polygonize,
+        "r_contour": contour,
         "r_color_relief": color,
         "r_pip_join": pip,
         "r_knn_join": knn,
@@ -2241,6 +2530,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_rasterize": rasterize,
         "r_phash_clusters": phash_cc,
         "r_resample_nearest": resample_n,
+        "r_overviews": overviews_sql,
         "r_resample_bilinear": resample_b,
         "r_warp_affine": warp,
         "r_reproject": reproject,
@@ -2338,21 +2628,22 @@ CONTRACT_ORDER = [
     "q01_pricing_summary", "q03_shipping_priority",
     "q_window_topk",
     "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
-    "q_salted_agg", "q_skew_join", "q_distinct_percentile", "q_pivot",
+    "q_skew_join", "q_distinct_percentile", "q_pivot",
     "q_text_stats", "q_lang_id", "q_repetition_filter",
     "q_embedding_stats", "q_ann_topk_join",
-    "q_minhash_pairs", "q_minhash_pairs_lsh_dual",
+    "q_minhash_pairs_lsh_dual",
     "q_ngram_pairs_lsh_dual",
-    "q_cosine_pairs", "q_cosine_pairs_lsh_dual",
+    "q_cosine_pairs_lsh_dual",
     "q_dedup_clusters", "q_pack_shards", "q_contamination",
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
-    "r_hillshade_md", "r_flow_dir", "r_color_relief", "r_pip_join",
+    "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_color_relief",
+    "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_phash_clusters", "r_resample_bilinear", "r_warp_affine",
-    "r_reproject", "r_mosaic",
+    "r_reproject", "r_polygonize", "r_contour", "r_mosaic",
     "r_raster_calc", "r_crop", "r_scale_stretch", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round). q_running_sum/q_histogram
@@ -2361,17 +2652,23 @@ CONTRACT_ORDER = [
     # --- rollup/cube/pivot) stay evidenced in-window by q_sessionize,
     # --- q_distinct_percentile and q_pivot -------------------------------
     "q_running_sum", "q_histogram", "q_rollup",
-    # --- q_ngram_pairs moved here round 5 to make window room for
-    # --- r_reproject; its §2 row (n-gram Jaccard dedup) stays evidenced
-    # --- in-window by q_ngram_pairs_lsh_dual, whose dual-banding oracle
-    # --- reproduces the exhaustive pair set exactly -----------------------
-    "q_ngram_pairs",
+    # --- the three exhaustive pair queries + q_salted_agg moved here
+    # --- round 5 to make window room for r_reproject / r_flow_accum /
+    # --- r_polygonize / r_contour; the pair queries' §2 rows stay
+    # --- evidenced in-window by their *_lsh_dual twins (dual-banding
+    # --- reproduces the exhaustive pair sets exactly) and the skew row
+    # --- (2.3-18) by q_skew_join -----------------------------------------
+    "q_minhash_pairs", "q_ngram_pairs", "q_cosine_pairs", "q_salted_agg",
     # --- q_ivf_ann likewise: its family stays evidenced in-window by
     # --- q_ivf_ann_join (scale path) and q_ivf_ann_trained; q05's
     # --- SMJ/star-join row stays evidenced by q03 ----------------------
     "q_ivf_ann", "q05_region_revenue",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
+    # --- r_overviews (r5): pure composition of the in-window resample
+    # --- numerics; oracled here, levels additionally pinned bit-for-bit
+    # --- against direct resample + the NumPy twin in test_overviews.py --
+    "r_overviews",
     # --- rows-only by design (approx aggs, Spark-only hash family, and
     # --- the probabilistic banded-LSH scale paths whose exactness is
     # --- pinned by the *_dual oracles + tests) ---------------------------
@@ -2417,6 +2714,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_zonal_slope": _r_zonal_slope,
             "r_hillshade_md": _r_hillshade_md,
             "r_flow_dir": _r_flow_dir,
+            "r_flow_accum": _r_flow_accum,
+            "r_polygonize": _r_polygonize,
+            "r_overviews": _r_overviews,
+            "r_contour": _r_contour,
             "r_color_relief": _r_color_relief,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,

@@ -9,9 +9,9 @@ engine keeps that exact shape:
 
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
-hillshade, tri, tpi, roughness, flow_dir} (the gdaldem product set plus
-D8 flow direction), plus "dem" (the elevation itself — useful with
---resample). Each OUT receives a
+hillshade, tri, tpi, roughness, flow_dir, flow_accum} (the gdaldem
+product set plus D8 flow direction and flow accumulation), plus "dem"
+(the elevation itself — useful with --resample). Each OUT receives a
 parquet tile table for its product (one input pass computes all
 requested products — the reference's multi-output fan-out).
 
@@ -39,6 +39,17 @@ regrid modes.
 [R0, R0+H) x cols [C0, C0+W) (south-up row order) out of every DEM
 first, then compute the products on the cropped grid. Mutually
 exclusive with the other regrid modes.
+
+--polygonize=K (gdal_polygonize, r5): classify every DEM by floor(v/K)
+(K <= 0 keeps raw values) and extract connected equal-valued regions;
+FUNC "regions" writes the labeled inventory (label/value/count/bbox),
+FUNC "rings" the world-coordinate outer rings. Mutually exclusive with
+the other modes.
+
+--overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
+product list on every /K reduced level (--overviews-method=
+nearest|bilinear, default nearest), written under OUT/level=K/.
+Mutually exclusive with the other regrid modes.
 
 --reproject=HxW (gdalwarp -t_srs, r5): true CRS reprojection of every
 DEM onto an H-rows x W-cols grid in --reproject-to=EPSG:3857|EPSG:4326
@@ -69,12 +80,16 @@ def main(argv: list[str]) -> int:
     mosaic = opts.get("mosaic")
     crop = opts.get("crop")
     reproject = opts.get("reproject")
-    if sum(bool(m) for m in (resample, warp, mosaic, crop, reproject)) > 1:
-        print("--resample / --warp / --mosaic / --crop / --reproject "
-              "are mutually exclusive")
+    overviews = opts.get("overviews")
+    polygonize = opts.get("polygonize")
+    modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize)
+    if sum(bool(m) for m in modes) > 1:
+        print("--resample / --warp / --mosaic / --crop / --reproject / "
+              "--overviews / --polygonize are mutually exclusive")
         return 2
-    allowed = ALL_PRODUCTS + (
-        ("dem",) if (resample or warp or mosaic or crop or reproject) else ())
+    allowed = (("regions", "rings") if polygonize
+               else ALL_PRODUCTS + ("flow_accum",)
+               + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
     if bad:
         print(f"unknown products: {sorted(bad)}; available: {allowed}")
@@ -124,6 +139,52 @@ def main(argv: list[str]) -> int:
 
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"warp {out_h}x{out_w} {method}")
+        return 0
+    if polygonize:
+        # --polygonize=K: gdal_polygonize — classify by floor(v/K)
+        # (K <= 0 keeps raw values), then write the region inventory
+        # ("regions") and/or world-coordinate outer rings ("rings")
+        from pyspark.sql import functions as F
+
+        from .operators.decode import decode_tiles
+        from .operators.vectorize import polygonize_tiles, region_rings
+
+        kf = float(polygonize)
+        tiles = decode_tiles(images, tile_rows=tile_rows)
+        if kf > 0:
+            tiles = tiles.withColumn(
+                "px", F.transform(
+                    "px", lambda v: F.when(v == F.lit(-9999.0), v)
+                    .otherwise(F.floor(v / F.lit(kf)).cast("float"))))
+        tiles = tiles.localCheckpoint(eager=True)
+        regions = polygonize_tiles(tiles, pinned=False)
+        for out, func in pairs:
+            if func == "regions":
+                regions.write.mode("overwrite").parquet(out)
+            else:
+                region_rings(tiles, regions).write.mode(
+                    "overwrite").parquet(out)
+            print(f"wrote {func} -> {out}")
+        return 0
+    if overviews:
+        # --overviews=2,4,8: gdaladdo — products on every reduced level,
+        # standard level=k/ directory layout under each OUT
+        levels = tuple(int(v) for v in overviews.split(","))
+        method = opts.get("overviews-method", "nearest")
+        first = images.select("h", "w").first()
+        bh, bw = int(first["h"]), int(first["w"])
+        for k in levels:
+            from .operators.resample import resample_tiles
+
+            def regrid(tiles, k=k):
+                return resample_tiles(tiles, -(-bh // k), -(-bw // k),
+                                      method=method,
+                                      out_tile_rows=tile_rows)
+
+            _run_regridded(
+                spark, images,
+                [(f"{out}/level={k}", func) for out, func in pairs],
+                products, tile_rows, regrid, f"overview /{k} {method}")
         return 0
     if reproject:
         out_h, out_w = (int(x) for x in reproject.lower().split("x"))
@@ -184,6 +245,26 @@ def main(argv: list[str]) -> int:
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"mosaic {out_h}x{out_w} {rule}")
         return 0
+    accum_pairs = [(o, f) for o, f in pairs if f == "flow_accum"]
+    if accum_pairs:
+        from pyspark.sql import functions as F
+
+        from .operators.decode import decode_tiles
+        from .operators.focal import flow_dir_tiles
+        from .operators.hydro import flow_accum_tiles
+
+        keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "crs"]
+        accum = flow_accum_tiles(
+            flow_dir_tiles(decode_tiles(images, tile_rows=tile_rows)))
+        for out, func in accum_pairs:
+            accum.select(*keep, "flow_accum").write.mode(
+                "overwrite").parquet(out)
+            print(f"wrote flow_accum tiles -> {out}")
+        pairs = [(o, f) for o, f in pairs if f != "flow_accum"]
+        products = tuple(f for _, f in pairs)
+        if not pairs:
+            return 0
     fused = decode_focal(images, tile_rows=tile_rows, products=products,
                          partitions=spark.sparkContext.defaultParallelism * 2)
     keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
@@ -222,12 +303,20 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
     terr_want = tuple(p for p in set(products) & set(TERRAIN_PRODUCTS))
     horn = focal_products(tiles, products=horn_want).cache() if horn_want else None
     terr = terrain_tiles(tiles, products=terr_want).cache() if terr_want else None
-    flow = flow_dir_tiles(tiles).cache() if "flow_dir" in products else None
+    flow = (flow_dir_tiles(tiles).cache()
+            if {"flow_dir", "flow_accum"} & set(products) else None)
+    accum = None
+    if "flow_accum" in products:
+        from .operators.hydro import flow_accum_tiles
+
+        accum = flow_accum_tiles(flow)
     for out, func in pairs:
         if func == "dem":
             src = tiles
         elif func == "flow_dir":
             src = flow
+        elif func == "flow_accum":
+            src = accum
         else:
             src = horn if func in PRODUCTS else terr
         col = "px" if func == "dem" else func

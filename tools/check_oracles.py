@@ -4,6 +4,11 @@ sf0.01, compare row count + column names + order-insensitive values
 (exact; floats compared bitwise after float64 normalization).
 
 Usage: python tools/check_oracles.py [sf_dir] [only_query_name ...]
+
+Full runs (no query filter) also write ``ORACLES_LATEST.json`` — a
+machine-readable per-query record {status, rows, cols} so the queries
+beyond the driver's 50-row CORRECTNESS window carry committed evidence
+(VERDICT r4 next-round #9); copy to ORACLES_r{N}.json at round end.
 """
 
 from __future__ import annotations
@@ -74,6 +79,7 @@ def main() -> int:
     qs = ent.queries()
     oracles = ent.oracle_sql()
     failures = 0
+    record: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -81,15 +87,21 @@ def main() -> int:
             sdf = fn(spark, sf_dir).toPandas()
         except Exception as e:
             print(f"[FAIL] {name}: spark raised {type(e).__name__}: {str(e)[:200]}")
+            record[name] = {"status": "FAIL",
+                            "err": f"spark {type(e).__name__}"}
             failures += 1
             continue
         if name not in oracles:
             print(f"[rows-only] {name}: {len(sdf)} rows, cols={list(sdf.columns)}")
+            record[name] = {"status": "rows-only", "rows": len(sdf),
+                            "cols": list(sdf.columns)}
             continue
         try:
             ddf = con.sql(oracles[name]).df()
         except Exception as e:
             print(f"[FAIL] {name}: duckdb raised {type(e).__name__}: {str(e)[:200]}")
+            record[name] = {"status": "FAIL",
+                            "err": f"duckdb {type(e).__name__}"}
             failures += 1
             continue
         errs = compare(name, sdf, ddf)
@@ -98,9 +110,20 @@ def main() -> int:
             print(f"[FAIL] {name}:")
             for e in errs:
                 print(f"        {e}")
+            record[name] = {"status": "FAIL", "err": errs[:3]}
         else:
             print(f"[OK]   {name}: {len(sdf)} rows match exactly")
+            record[name] = {"status": "OK", "rows": len(sdf),
+                            "cols": list(sdf.columns)}
     print(f"\n{failures} failures")
+    if not only:
+        import json
+
+        with open("/root/repo/ORACLES_LATEST.json", "w") as f:
+            json.dump({"sf_dir": sf_dir, "failures": failures,
+                       "n_queries": len(record), "queries": record},
+                      f, indent=1)
+        print("wrote ORACLES_LATEST.json")
     return 1 if failures else 0
 
 
