@@ -1116,6 +1116,31 @@ def _r_overviews(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drainage basins (ArcGIS Basin parity): every dir-valid cell
+    labeled by its path's terminal cell (flat index). Integer labels on
+    the same exact integer graph as r_flow_accum, so the DuckDB oracle
+    (reachability closure joined to the no-outgoing-edge terminals)
+    matches value-exactly. Engine side: the two-level port-chase
+    (operators/hydro.basins_tiles)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import basins_tiles
+
+    images, _, _ = _corpus(spark)
+    out = basins_tiles(flow_dir_tiles(decode_tiles(images, tile_rows=8)))
+    w = 32
+    return out.select(
+        "image_id", "ty0", F.posexplode("basin").alias("pos", "v")
+    ).filter(F.col("v") >= 0).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("v").cast("long").alias("basin"),
+    )
+
+
 CONTOUR_LEVELS = (104.0, 112.0, 1024.0)  # exact literals in both engines
 
 
@@ -1693,6 +1718,65 @@ def _corpus_oracles() -> dict[str, str]:
                coalesce(n.acc, CAST(0 AS BIGINT)) AS acc
         FROM dirs d LEFT JOIN n
           ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+    """
+
+    # basins: same graph; terminal = node with no outgoing edge; each
+    # cell's label = its unique reachable terminal's flat index (the
+    # closure is a functional path, so the join yields exactly one row)
+    basins = f"""
+        WITH RECURSIVE {horn_win},
+        dr AS (
+            SELECT image_id, r, c,
+                   (ee - f)          AS d_e,
+                   (ee - cc) * {is2} AS d_se,
+                   (ee - b)          AS d_s,
+                   (ee - a) * {is2}  AS d_sw,
+                   (ee - d)          AS d_w,
+                   (ee - g) * {is2}  AS d_nw,
+                   (ee - h)          AS d_n,
+                   (ee - i2) * {is2} AS d_ne
+            FROM win
+        ),
+        m AS (
+            SELECT *, greatest(d_e, d_se, d_s, d_sw,
+                               d_w, d_nw, d_n, d_ne) AS maxd
+            FROM dr
+        ),
+        dirs AS (
+            SELECT image_id, r, c, {_dir_case} AS code FROM m
+        ),
+        edges AS (
+            SELECT d.image_id, d.r, d.c,
+                   d.r + CASE WHEN d.code IN (2, 4, 8) THEN -1
+                              WHEN d.code IN (32, 64, 128) THEN 1
+                              ELSE 0 END AS tr,
+                   d.c + CASE WHEN d.code IN (1, 2, 128) THEN 1
+                              WHEN d.code IN (8, 16, 32) THEN -1
+                              ELSE 0 END AS tc
+            FROM dirs d WHERE d.code > 0
+        ),
+        e2 AS (
+            SELECT e.image_id, e.r, e.c, e.tr, e.tc
+            FROM edges e JOIN dirs t
+              ON t.image_id = e.image_id AND t.r = e.tr AND t.c = e.tc
+        ),
+        reach AS (
+            SELECT image_id, r AS ur, c AS uc, r AS vr, c AS vc FROM dirs
+            UNION ALL
+            SELECT p.image_id, p.ur, p.uc, e.tr, e.tc
+            FROM reach p JOIN e2 e
+              ON e.image_id = p.image_id AND e.r = p.vr AND e.c = p.vc
+        ),
+        term AS (
+            SELECT d.image_id, d.r, d.c
+            FROM dirs d LEFT JOIN e2
+              ON e2.image_id = d.image_id AND e2.r = d.r AND e2.c = d.c
+            WHERE e2.r IS NULL
+        )
+        SELECT p.image_id, CAST(p.ur AS INT) AS r, CAST(p.uc AS INT) AS c,
+               CAST(p.vr * 32 + p.vc AS BIGINT) AS basin
+        FROM reach p JOIN term t
+          ON t.image_id = p.image_id AND t.r = p.vr AND t.c = p.vc
     """
 
     # polygonize: 4-connected equal-class regions labeled by min flat
@@ -2521,6 +2605,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_flow_accum": flow_accum,
         "r_polygonize": polygonize,
         "r_contour": contour,
+        "r_basins": basins,
         "r_color_relief": color,
         "r_pip_join": pip,
         "r_knn_join": knn,
@@ -2630,7 +2715,7 @@ CONTRACT_ORDER = [
     "q_dedup_exact", "q_sessionize", "q_semi_anti", "q_broadcast_join",
     "q_skew_join", "q_distinct_percentile", "q_pivot",
     "q_text_stats", "q_lang_id", "q_repetition_filter",
-    "q_embedding_stats", "q_ann_topk_join",
+    "q_ann_topk_join",
     "q_minhash_pairs_lsh_dual",
     "q_ngram_pairs_lsh_dual",
     "q_cosine_pairs_lsh_dual",
@@ -2638,8 +2723,8 @@ CONTRACT_ORDER = [
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
-    "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_color_relief",
-    "r_pip_join",
+    "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
+    "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_phash_clusters", "r_resample_bilinear", "r_warp_affine",
@@ -2659,6 +2744,9 @@ CONTRACT_ORDER = [
     # --- reproduces the exhaustive pair sets exactly) and the skew row
     # --- (2.3-18) by q_skew_join -----------------------------------------
     "q_minhash_pairs", "q_ngram_pairs", "q_cosine_pairs", "q_salted_agg",
+    # --- q_embedding_stats likewise (r5, for r_basins): §2 rows 34-37
+    # --- stay evidenced in-window by q_text_stats --------------------------
+    "q_embedding_stats",
     # --- q_ivf_ann likewise: its family stays evidenced in-window by
     # --- q_ivf_ann_join (scale path) and q_ivf_ann_trained; q05's
     # --- SMJ/star-join row stays evidenced by q03 ----------------------
@@ -2718,6 +2806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_polygonize": _r_polygonize,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,
+            "r_basins": _r_basins,
             "r_color_relief": _r_color_relief,
             "r_pip_join": _r_pip_join,
             "r_knn_join": _r_knn_join,

@@ -46,6 +46,11 @@ FUNC "regions" writes the labeled inventory (label/value/count/bbox),
 FUNC "rings" the world-coordinate outer rings. Mutually exclusive with
 the other modes.
 
+--contour=L1,L2,... (gdal_contour, r5): iso-elevation contour extraction
+at the given levels; FUNC "segments" writes raw marching-squares
+segments, FUNC "lines" stitched polylines (line_id per connected
+contour). Mutually exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -82,12 +87,15 @@ def main(argv: list[str]) -> int:
     reproject = opts.get("reproject")
     overviews = opts.get("overviews")
     polygonize = opts.get("polygonize")
-    modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize)
+    contour = opts.get("contour")
+    modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
+             contour)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
-              "--overviews / --polygonize are mutually exclusive")
+              "--overviews / --polygonize / --contour are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
+               else ("segments", "lines") if contour
                else ALL_PRODUCTS + ("flow_accum",)
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -139,6 +147,21 @@ def main(argv: list[str]) -> int:
 
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"warp {out_h}x{out_w} {method}")
+        return 0
+    if contour:
+        # --contour=L1,L2,...: gdal_contour — iso-elevation segments
+        # ("segments") or stitched polylines ("lines") at each level
+        from .operators.contour import contour_polylines, contour_tiles
+        from .operators.decode import decode_tiles
+
+        levels = [float(v) for v in contour.split(",")]
+        segs = contour_tiles(
+            decode_tiles(images, tile_rows=tile_rows), levels)
+        segs = segs.localCheckpoint(eager=True)
+        for out, func in pairs:
+            df = contour_polylines(segs) if func == "lines" else segs
+            df.write.mode("overwrite").parquet(out)
+            print(f"wrote contour {func} -> {out}")
         return 0
     if polygonize:
         # --polygonize=K: gdal_polygonize — classify by floor(v/K)

@@ -129,6 +129,14 @@ def _port_map(dirs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """For every cell, the band-exit target its in-band path reaches
     (pointer doubling on the in-band successor array): returns
     (reaches_exit bool, exit_dr rel row, exit_c col) per cell."""
+    reaches, ex_r, ex_c, _ = _roots(dirs)
+    return reaches, ex_r, ex_c
+
+
+def _roots(dirs: np.ndarray):
+    """Pointer-doubled in-band path terminals: per cell, whether the
+    path reaches a band exit, the exit's target (rel row, col), and the
+    ROOT cell's flat index (the in-band terminal or the exiting cell)."""
     th, w = dirs.shape
     valid = dirs != NODATA
     code = np.where(valid, dirs, 0.0).astype(np.int64)
@@ -152,7 +160,8 @@ def _port_map(dirs: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     reaches = is_exit.ravel()[root]
     ex_r = tr.ravel()[root]
     ex_c = tc.ravel()[root]
-    return reaches.reshape(th, w), ex_r.reshape(th, w), ex_c.reshape(th, w)
+    return (reaches.reshape(th, w), ex_r.reshape(th, w),
+            ex_c.reshape(th, w), root.reshape(th, w))
 
 
 def flow_accum_tiles(
@@ -304,3 +313,212 @@ def flow_accum_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     out[np.asarray(dirs, dtype=np.float32) == float(nodata)] = np.float32(
         nodata)
     return out
+
+
+BASIN_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, "
+    "basin array<long>"
+)
+_B1_SCHEMA = (
+    "image_id string, kind int, ek long, r long, c long, tr long, tc long, "
+    "lab long"
+)
+
+
+def basins_tiles(
+    dir_tiles: DataFrame,
+    dir_col: str = "flow_dir",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Drainage basins (ArcGIS Basin / GRASS r.watershed parity): every
+    dir-valid cell labeled by the GLOBAL flat index of its path's
+    TERMINAL cell (the pit/flat, or the last valid cell before flow
+    leaves the valid set) — cells sharing an outlet share a basin.
+    Output is tiles-shaped with ``basin array<long>`` (-1 where dir is
+    NODATA).
+
+    Same two-level shape as ``flow_accum_tiles``: pointer-doubled
+    in-band roots (pass 1) + a slim port-chase over band-edge cells
+    (each band's exit cells resolve their downstream terminal through
+    the port graph; a dead target — invalid or NODATA-dir — makes the
+    exiting cell its own terminal), then a second pass assigns labels
+    per band. Pixels never shuffle; the coarse loop sees only
+    band-edge-sized tables."""
+    keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+            "x0", "y0", "crs", dir_col]
+    tiles = dir_tiles.select(*keep).withColumnRenamed(dir_col, "__dir")
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+    nd = float(nodata)
+
+    # ---- pass 1: per-band roots -> port rows + exit dependencies -------
+    # kind 1 (port row, one per valid edge-row cell e):
+    #   terminal in-band -> (r, c, tr=-1, tc=-1, lab=terminal global flat)
+    #   exits at x       -> (r, c, tr, tc target, lab=x's global flat)
+    # kind 0 (dependency, one per distinct EXIT CELL x of the band):
+    #   (ek=x global flat, tr, tc target)
+    def p1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in
+                    ("image_id", "kind", "ek", "r", "c", "tr", "tc", "lab")}
+
+            def emit(iid, kind, ek=-1, r=-1, c=-1, tr=-1, tc=-1, lab=-1):
+                rows["image_id"].append(iid)
+                rows["kind"].append(kind)
+                rows["ek"].append(int(ek))
+                rows["r"].append(int(r))
+                rows["c"].append(int(c))
+                rows["tr"].append(int(tr))
+                rows["tc"].append(int(tc))
+                rows["lab"].append(int(lab))
+
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0 = int(pdf["ty0"].iat[i])
+                iid = pdf["image_id"].iat[i]
+                dirs = np.asarray(
+                    pdf["__dir"].iat[i], dtype=np.float32).reshape(th, w)
+                reaches, ex_r, ex_c, root = _roots(dirs)
+
+                def gflat(flat_local):
+                    return (flat_local // w + ty0) * w + flat_local % w
+
+                seen_exits = set()
+                valid = dirs != nd
+                for lr in {0, th - 1}:
+                    for c in range(w):
+                        if not valid[lr, c]:
+                            continue
+                        rt = root[lr, c]
+                        if reaches[lr, c]:
+                            emit(iid, 1, r=ty0 + lr, c=c,
+                                 tr=ty0 + ex_r[lr, c], tc=ex_c[lr, c],
+                                 lab=gflat(rt))
+                        else:
+                            emit(iid, 1, r=ty0 + lr, c=c, lab=gflat(rt))
+                # every distinct exit cell of the band (any row) needs its
+                # downstream terminal resolved
+                for lr in range(th):
+                    for c in range(w):
+                        if not valid[lr, c] or not reaches[lr, c]:
+                            continue
+                        rt = root[lr, c]
+                        if rt in seen_exits:
+                            continue
+                        seen_exits.add(rt)
+                        emit(iid, 0, ek=gflat(rt),
+                             tr=ty0 + ex_r[lr, c], tc=ex_c[lr, c])
+            yield pd.DataFrame(rows)
+
+    p1_out = tiles.mapInPandas(p1, schema=_B1_SCHEMA).localCheckpoint(
+        eager=True)
+    ports = (p1_out.filter(F.col("kind") == 1)
+             .select("image_id", "r", "c", "tr", "tc", "lab"))
+    deps = (p1_out.filter(F.col("kind") == 0)
+            .select("image_id", "ek",
+                    F.col("tr").alias("cur_r"), F.col("tc").alias("cur_c"),
+                    F.col("ek").alias("fallback")))
+
+    # ---- coarse chase over the slim port graph -------------------------
+    if max_rounds is None:
+        mb = tiles.select(
+            F.max(F.ceil(F.col("h") / F.col("th"))).alias("m")).first()
+        max_rounds = 2 * int(mb["m"] or 1) + 4
+    pr = ports.select(F.col("image_id").alias("pi"),
+                      F.col("r").alias("pr"), F.col("c").alias("pc"),
+                      F.col("tr").alias("ptr"), F.col("tc").alias("ptc"),
+                      F.col("lab").alias("plab"))
+    resolved = None
+    pending = deps
+    rounds = 0
+    while True:
+        pending = pending.localCheckpoint(eager=True)
+        if pending.rdd.isEmpty():
+            break
+        rounds += 1
+        if rounds > max_rounds:
+            raise RuntimeError(
+                f"basins port chase exceeded {max_rounds} rounds")
+        j = pending.join(
+            pr, (F.col("image_id") == F.col("pi"))
+            & (F.col("cur_r") == F.col("pr"))
+            & (F.col("cur_c") == F.col("pc")), "left")
+        done = j.filter(F.col("pr").isNull() | (F.col("ptr") < 0)).select(
+            "image_id", "ek",
+            F.when(F.col("pr").isNull(), F.col("fallback"))
+            .otherwise(F.col("plab")).alias("lab"))
+        resolved = done if resolved is None else resolved.unionByName(done)
+        pending = j.filter(F.col("pr").isNotNull() & (F.col("ptr") >= 0)).select(
+            "image_id", "ek", F.col("ptr").alias("cur_r"),
+            F.col("ptc").alias("cur_c"), F.col("plab").alias("fallback"))
+    if resolved is None:
+        resolved = deps.select("image_id", "ek",
+                               F.col("fallback").alias("lab")).limit(0)
+    resolved = resolved.localCheckpoint(eager=True)
+
+    # ---- pass 2: per-band label assignment -----------------------------
+    geo = tiles.select("image_id", "tile_y", "ty0", "th").dropDuplicates(
+        ["image_id", "tile_y"])
+    w_col = tiles.select("image_id", "w").dropDuplicates(["image_id"])
+    rk = resolved.join(F.broadcast(w_col), "image_id").withColumn(
+        "__r", (F.col("ek") - F.pmod("ek", F.col("w"))) / F.col("w"))
+    per_band = (rk.join(
+        F.broadcast(geo),
+        (rk["image_id"] == geo["image_id"])
+        & (rk["__r"] >= geo["ty0"]) & (rk["__r"] < geo["ty0"] + geo["th"]))
+        .select(rk["image_id"], "tile_y", "ek", "lab")
+        .groupBy("image_id", "tile_y")
+        .agg(F.collect_list(F.struct("ek", "lab")).alias("__resolved")))
+
+    seeded = tiles.join(F.broadcast(per_band), ["image_id", "tile_y"],
+                        "left")
+
+    def p2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
+                "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
+                "h": pdf["h"], "cellsize": pdf["cellsize"],
+                "x0": pdf["x0"], "y0": pdf["y0"], "crs": pdf["crs"],
+                "basin": [None] * len(pdf),
+            }
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0 = int(pdf["ty0"].iat[i])
+                dirs = np.asarray(
+                    pdf["__dir"].iat[i], dtype=np.float32).reshape(th, w)
+                reaches, _, _, root = _roots(dirs)
+                res = {}
+                lst = pdf["__resolved"].iat[i]
+                if lst is not None and not (
+                        isinstance(lst, float) and pd.isna(lst)):
+                    for s in lst:
+                        res[int(s["ek"])] = int(s["lab"])
+                gflat = (root // w + ty0) * w + root % w
+                lab = np.where(
+                    reaches,
+                    np.vectorize(lambda g: res.get(int(g), int(g)),
+                                 otypes=[np.int64])(gflat)
+                    if res else gflat,
+                    gflat)
+                lab = lab.astype(np.int64)
+                lab[dirs == nd] = -1
+                out["basin"][i] = lab.ravel()
+            yield pd.DataFrame(out)
+
+    return seeded.mapInPandas(p2, schema=BASIN_SCHEMA)
+
+
+def basins_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
+    """Whole-grid NumPy twin: terminal flat index per valid cell, -1 at
+    NODATA — identical semantics to the tiled operator."""
+    d = np.asarray(dirs, dtype=np.float32)
+    th, w = d.shape
+    _, _, _, root = _roots(d)
+    lab = (root // w) * w + root % w
+    lab = lab.astype(np.int64)
+    lab[d == float(nodata)] = -1
+    return lab

@@ -103,3 +103,26 @@ def test_polylines_closed_ring_is_one_line(spark):
     assert len({r.line_id for r in lines}) == 1
     # stitching preserved every segment
     assert len(lines) == segs.count()
+
+
+def test_cli_contour(spark, images_df, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out_s = str(tmp_path / "segments")
+    out_l = str(tmp_path / "lines")
+    assert main([inp, out_s, "segments", out_l, "lines",
+                 "--contour=104,112", "--tile-rows=8", "--cores=4"]) == 0
+    segs = spark.read.parquet(out_s)
+    geo = {r.image_id: (float(r.x0), float(r.y0), float(r.cellsize))
+           for r in decode_tiles(images_df, tile_rows=32)
+           .filter(F.col("ty0") == 0).collect()}
+    x0, y0, cs = geo["img000000"]
+    want = {tuple(t) for t in contour_grid(
+        _decoded(0), [104.0, 112.0], x0=x0, y0=y0, cellsize=cs)}
+    got = {(r.level, r.r, r.c, r.seg, r.x1, r.y1, r.x2, r.y2)
+           for r in segs.filter(F.col("image_id") == "img000000").collect()}
+    assert got == want
+    lines = spark.read.parquet(out_l)
+    assert "line_id" in lines.columns and lines.count() == segs.count()

@@ -217,3 +217,92 @@ def test_cli_flow_accum(spark, images_df, tmp_path):
                      for r in rows])
     want = flow_accum_grid(flow_dir(_decoded(0)[4:28, 4:28]))
     np.testing.assert_array_equal(got, want)
+
+
+def brute_basins(dirs: np.ndarray) -> np.ndarray:
+    """Independent oracle: walk each cell's path to its terminal."""
+    th, w = dirs.shape
+    valid = dirs != np.float32(NODATA)
+    code = np.where(valid, dirs, 0.0).astype(np.int64)
+    lab = np.full((th, w), -1, dtype=np.int64)
+    for r in range(th):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            cr, cc = r, c
+            for _ in range(th * w + 1):
+                k = code[cr, cc]
+                if k == 0:
+                    break
+                nr, nc = cr + D8_DR[k], cc + D8_DC[k]
+                if not (0 <= nr < th and 0 <= nc < w) or not valid[nr, nc]:
+                    break
+                cr, cc = nr, nc
+            else:
+                raise AssertionError("cycle")
+            lab[r, c] = cr * w + cc
+    return lab
+
+
+@pytest.mark.parametrize("seed", [0, 1])
+def test_basins_twin_matches_brute(seed):
+    from pycuda_raster_spark.operators.hydro import basins_grid
+
+    rng = np.random.default_rng(seed)
+    g = (rng.random((20, 17)) * 50).astype(np.float32)
+    if seed == 1:
+        g[6:9, 4:7] = np.float32(NODATA)
+    dirs = flow_dir(g)
+    np.testing.assert_array_equal(basins_grid(dirs), brute_basins(dirs))
+
+
+def test_bowl_is_one_basin():
+    from pycuda_raster_spark.operators.hydro import basins_grid
+
+    h = w = 15
+    yy, xx = np.mgrid[0:h, 0:w]
+    g = ((yy - 7) ** 2 + (xx - 7) ** 2).astype(np.float32)
+    lab = basins_grid(flow_dir(g))
+    valid = lab >= 0
+    assert set(np.unique(lab[valid])) == {7 * w + 7}
+
+
+def _collect_basins(out_df):
+    rows = out_df.select("image_id", "ty0", "th", "w", "h",
+                         "basin").collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, []).append(r)
+    return {
+        iid: np.vstack([
+            np.asarray(t.basin, dtype=np.int64).reshape(t.th, t.w)
+            for t in sorted(ts, key=lambda r: r.ty0)])
+        for iid, ts in per.items()
+    }
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_basins_tiled_matches_twin(spark, images_df, tile_rows):
+    from pycuda_raster_spark.operators.hydro import basins_grid, basins_tiles
+
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tile_rows))
+    got = _collect_basins(basins_tiles(dirs_df))
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = basins_grid(flow_dir(_decoded(i)))
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+
+
+def test_basins_serpentine_reentry(spark):
+    from pycuda_raster_spark.fixtures import IMAGES_DDL
+    from pycuda_raster_spark.operators.hydro import basins_grid, basins_tiles
+
+    g = _serpentine_elevation(16, 9)
+    df = spark.createDataFrame(
+        [("serp", bytearray(g.astype("<f4").tobytes()), 9, 16, "raw",
+          "serp", 0)], schema=IMAGES_DDL)
+    dirs_df = flow_dir_tiles(decode_tiles(df, tile_rows=2))
+    got = _collect_basins(basins_tiles(dirs_df))["serp"]
+    want = basins_grid(flow_dir(g))
+    np.testing.assert_array_equal(got, want)
