@@ -1141,6 +1141,36 @@ def _r_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Euclidean distance transform (gdal_proximity parity):
+    per-cell squared cell distance to the nearest target (targets =
+    floor(val/16) % 7 == 0 — exact integer classes in both engines) plus
+    the georeferenced distance sqrt(dist2)*cellsize (sqrt of an integer
+    is correctly rounded IEEE -> bit-equal doubles). The oracle
+    brute-forces min over all targets; the engine runs the separable
+    two-pass tiled EDT (operators/proximity.py), so this row pins the
+    distributed path value-exactly."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.proximity import (
+        proximity_tiles, target_class_mod)
+
+    images, _, _ = _corpus(spark)
+    out = proximity_tiles(decode_tiles(images, tile_rows=8),
+                          target_class_mod(16.0, 7))
+    w = 32
+    return out.select(
+        "image_id", "ty0",
+        F.posexplode(F.arrays_zip("dist2", "dist")).alias("pos", "z")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("z.dist2").alias("dist2"),
+        F.col("z.dist").alias("dist"),
+    )
+
+
 CONTOUR_LEVELS = (104.0, 112.0, 1024.0)  # exact literals in both engines
 
 
@@ -1718,6 +1748,37 @@ def _corpus_oracles() -> dict[str, str]:
                coalesce(n.acc, CAST(0 AS BIGINT)) AS acc
         FROM dirs d LEFT JOIN n
           ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+    """
+
+    # exact EDT (gdal_proximity): brute-force min squared distance over
+    # all targets of the image — pure integers; the georeferenced dist is
+    # one correctly-rounded sqrt + one multiply, identical order to the
+    # engine's NumPy chain, so the doubles match bit-for-bit
+    proximity = f"""
+        WITH px AS (
+            SELECT image_id, r, c, val FROM {pixels}
+        ),
+        tgt AS (
+            SELECT image_id, r AS tr, c AS tc FROM px
+            WHERE val <> {nd}
+              AND CAST(floor(CAST(val AS DOUBLE) / CAST(16 AS DOUBLE))
+                       AS BIGINT) % 7 = 0
+        ),
+        d AS (
+            SELECT p.image_id, p.r, p.c,
+                   min((p.r - t.tr) * (p.r - t.tr)
+                       + (p.c - t.tc) * (p.c - t.tc)) AS d2
+            FROM px p JOIN tgt t ON t.image_id = p.image_id
+            GROUP BY p.image_id, p.r, p.c
+        )
+        SELECT p.image_id, p.r, p.c,
+               CAST(coalesce(d.d2, -1) AS BIGINT) AS dist2,
+               CASE WHEN d.d2 IS NULL THEN CAST(-9999 AS DOUBLE)
+                    ELSE sqrt(CAST(d.d2 AS DOUBLE)) * i.cellsize
+               END AS dist
+        FROM px p
+        LEFT JOIN d ON d.image_id = p.image_id AND d.r = p.r AND d.c = p.c
+        JOIN {images} i ON i.image_id = p.image_id
     """
 
     # basins: same graph; terminal = node with no outgoing edge; each
@@ -2603,6 +2664,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_hillshade_md": hillshade_md,
         "r_flow_dir": flow,
         "r_flow_accum": flow_accum,
+        "r_proximity": proximity,
         "r_polygonize": polygonize,
         "r_contour": contour,
         "r_basins": basins,
@@ -2721,9 +2783,10 @@ CONTRACT_ORDER = [
     "q_cosine_pairs_lsh_dual",
     "q_dedup_clusters", "q_pack_shards", "q_contamination",
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
-    "r_flagship_zonal", "r_focal_slope", "r_focal_aspect",
+    "r_flagship_zonal", "r_focal_slope",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
     "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
+    "r_proximity",
     "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
@@ -2744,6 +2807,10 @@ CONTRACT_ORDER = [
     # --- reproduces the exhaustive pair sets exactly) and the skew row
     # --- (2.3-18) by q_skew_join -----------------------------------------
     "q_minhash_pairs", "q_ngram_pairs", "q_cosine_pairs", "q_salted_agg",
+    # --- r_focal_aspect moved here round 5 for r_proximity: the Horn
+    # --- gradient family stays evidenced in-window by r_focal_slope,
+    # --- r_focal_hillshade and r_focal_terrain (same gradient CTE) ------
+    "r_focal_aspect",
     # --- q_embedding_stats likewise (r5, for r_basins): §2 rows 34-37
     # --- stay evidenced in-window by q_text_stats --------------------------
     "q_embedding_stats",
@@ -2803,6 +2870,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_hillshade_md": _r_hillshade_md,
             "r_flow_dir": _r_flow_dir,
             "r_flow_accum": _r_flow_accum,
+            "r_proximity": _r_proximity,
             "r_polygonize": _r_polygonize,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,

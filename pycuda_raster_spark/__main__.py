@@ -51,6 +51,13 @@ at the given levels; FUNC "segments" writes raw marching-squares
 segments, FUNC "lines" stitched polylines (line_id per connected
 contour). Mutually exclusive with the other modes.
 
+--proximity=DIV,MOD (gdal_proximity, r5): exact Euclidean distance to
+the nearest target cell, targets = floor(v/DIV) % MOD == 0; or
+--proximity-values=V1,V2,... for an explicit target value list
+(gdal_proximity -values). FUNC "proximity" writes per-tile dist2 (exact
+squared cell distance; -1 = no target in image) + dist (georeferenced)
+tables. Mutually exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -88,14 +95,17 @@ def main(argv: list[str]) -> int:
     overviews = opts.get("overviews")
     polygonize = opts.get("polygonize")
     contour = opts.get("contour")
+    proximity = opts.get("proximity") or opts.get("proximity-values")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour)
+             contour, proximity)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
-              "--overviews / --polygonize / --contour are mutually exclusive")
+              "--overviews / --polygonize / --contour / --proximity are "
+              "mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
+               else ("proximity",) if proximity
                else ALL_PRODUCTS + ("flow_accum",)
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -188,6 +198,24 @@ def main(argv: list[str]) -> int:
                 region_rings(tiles, regions).write.mode(
                     "overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
+        return 0
+    if proximity:
+        # --proximity=DIV,MOD | --proximity-values=V1,...: gdal_proximity
+        from .operators.decode import decode_tiles
+        from .operators.proximity import (
+            proximity_tiles, target_class_mod, target_values)
+
+        if opts.get("proximity-values"):
+            pred = target_values(
+                [float(v) for v in opts["proximity-values"].split(",")])
+        else:
+            div, mod = opts["proximity"].split(",")
+            pred = target_class_mod(float(div), int(mod))
+        prox = proximity_tiles(
+            decode_tiles(images, tile_rows=tile_rows), pred)
+        for out, func in pairs:
+            prox.write.mode("overwrite").parquet(out)
+            print(f"wrote proximity tiles -> {out}")
         return 0
     if overviews:
         # --overviews=2,4,8: gdaladdo — products on every reduced level,
