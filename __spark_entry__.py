@@ -1171,6 +1171,39 @@ def _r_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _r_fillnodata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-valid fill (gdal_fillnodata nearest variant): sources =
+    the class-mod cells (floor(val/16) % 7 == 0); every other cell takes
+    the VALUE of the nearest source under the deterministic composite
+    key min(dist2, src_r, src_c). Every output value is a bit-copy of
+    an input cell and the key is pure-integer, so all four columns are
+    value-exact vs the brute-force argmin oracle. The engine runs the
+    two-pass tiled EDT with value/source tracking
+    (operators/fillnodata.py); this row pins the distributed path."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.fillnodata import fill_nearest_tiles
+    from pycuda_raster_spark.operators.proximity import target_class_mod
+
+    images, _, _ = _corpus(spark)
+    out = fill_nearest_tiles(decode_tiles(images, tile_rows=8),
+                             valid=target_class_mod(16.0, 7))
+    w = 32
+    return out.select(
+        "image_id", "ty0",
+        F.posexplode(F.arrays_zip("filled", "dist2", "src_r", "src_c")
+                     ).alias("pos", "z")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("z.filled").cast("double").alias("filled"),
+        F.col("z.dist2").alias("dist2"),
+        F.col("z.src_r").alias("src_r"),
+        F.col("z.src_c").alias("src_c"),
+    )
+
+
 CONTOUR_LEVELS = (104.0, 112.0, 1024.0)  # exact literals in both engines
 
 
@@ -1779,6 +1812,50 @@ def _corpus_oracles() -> dict[str, str]:
         FROM px p
         LEFT JOIN d ON d.image_id = p.image_id AND d.r = p.r AND d.c = p.c
         JOIN {images} i ON i.image_id = p.image_id
+    """
+
+    # nearest-valid fill (gdal_fillnodata nearest variant): argmin over
+    # source cells of the composite integer key (d2, tr, tc) packed into
+    # one BIGINT (d2 * 2^42 + tr * 2^21 + tc — d2 < 2^15 on this corpus,
+    # rows/cols < 2^21, so min(key) == lexicographic min); the filled
+    # value is a bit-copy of the winning source cell
+    fillnodata = f"""
+        WITH px AS (
+            SELECT image_id, r, c, val FROM {pixels}
+        ),
+        src AS (
+            SELECT image_id, r AS tr, c AS tc, val AS tval FROM px
+            WHERE val <> {nd}
+              AND CAST(floor(CAST(val AS DOUBLE) / CAST(16 AS DOUBLE))
+                       AS BIGINT) % 7 = 0
+        ),
+        d AS (
+            SELECT p.image_id, p.r, p.c,
+                   min(CAST((p.r - s.tr) * (p.r - s.tr)
+                            + (p.c - s.tc) * (p.c - s.tc) AS BIGINT)
+                       * 4398046511104
+                       + CAST(s.tr AS BIGINT) * 2097152
+                       + CAST(s.tc AS BIGINT)) AS k
+            FROM px p JOIN src s ON s.image_id = p.image_id
+            GROUP BY p.image_id, p.r, p.c
+        ),
+        b AS (
+            SELECT image_id, r, c,
+                   k // 4398046511104 AS d2,
+                   (k // 2097152) % 2097152 AS sr,
+                   k % 2097152 AS sc
+            FROM d
+        )
+        SELECT p.image_id, p.r, p.c,
+               coalesce(CAST(s.tval AS DOUBLE), CAST(-9999 AS DOUBLE))
+                   AS filled,
+               CAST(coalesce(b.d2, -1) AS BIGINT) AS dist2,
+               CAST(coalesce(b.sr, -1) AS BIGINT) AS src_r,
+               CAST(coalesce(b.sc, -1) AS BIGINT) AS src_c
+        FROM px p
+        LEFT JOIN b ON b.image_id = p.image_id AND b.r = p.r AND b.c = p.c
+        LEFT JOIN src s ON s.image_id = b.image_id AND s.tr = b.sr
+                       AND s.tc = b.sc
     """
 
     # basins: same graph; terminal = node with no outgoing edge; each
@@ -2665,6 +2742,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_flow_dir": flow,
         "r_flow_accum": flow_accum,
         "r_proximity": proximity,
+        "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
         "r_contour": contour,
         "r_basins": basins,
@@ -2786,11 +2864,11 @@ CONTRACT_ORDER = [
     "r_flagship_zonal", "r_focal_slope",
     "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
     "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
-    "r_proximity",
+    "r_proximity", "r_fillnodata",
     "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
-    "r_phash_clusters", "r_resample_bilinear", "r_warp_affine",
+    "r_resample_bilinear", "r_warp_affine",
     "r_reproject", "r_polygonize", "r_contour", "r_mosaic",
     "r_raster_calc", "r_crop", "r_scale_stretch", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
@@ -2811,6 +2889,10 @@ CONTRACT_ORDER = [
     # --- gradient family stays evidenced in-window by r_focal_slope,
     # --- r_focal_hillshade and r_focal_terrain (same gradient CTE) ------
     "r_focal_aspect",
+    # --- r_phash_clusters moved here round 5 for r_fillnodata: the phash
+    # --- row stays evidenced in-window by r_phash_dedup, the CC
+    # --- clustering machinery by q_dedup_clusters (identical operator) --
+    "r_phash_clusters",
     # --- q_embedding_stats likewise (r5, for r_basins): §2 rows 34-37
     # --- stay evidenced in-window by q_text_stats --------------------------
     "q_embedding_stats",
@@ -2871,6 +2953,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_flow_dir": _r_flow_dir,
             "r_flow_accum": _r_flow_accum,
             "r_proximity": _r_proximity,
+            "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,

@@ -58,6 +58,15 @@ the nearest target cell, targets = floor(v/DIV) % MOD == 0; or
 squared cell distance; -1 = no target in image) + dist (georeferenced)
 tables. Mutually exclusive with the other modes.
 
+--fillnodata=default|DIV,MOD (gdal_fillnodata nearest variant, r5):
+every invalid cell takes the value of the nearest valid cell
+(deterministic tiebreak min(dist2, src_r, src_c)). "default" treats
+NODATA cells as the holes; DIV,MOD restricts sources to cells with
+floor(v/DIV) % MOD == 0 (everything else refilled); or
+--fillnodata-values=V1,V2,... for an explicit source value list. FUNC
+"fillnodata" writes per-tile filled/dist2/src_r/src_c tables. Mutually
+exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -96,16 +105,18 @@ def main(argv: list[str]) -> int:
     polygonize = opts.get("polygonize")
     contour = opts.get("contour")
     proximity = opts.get("proximity") or opts.get("proximity-values")
+    fillnodata = opts.get("fillnodata") or opts.get("fillnodata-values")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity)
+             contour, proximity, fillnodata)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
-              "--overviews / --polygonize / --contour / --proximity are "
-              "mutually exclusive")
+              "--overviews / --polygonize / --contour / --proximity / "
+              "--fillnodata are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
                else ("proximity",) if proximity
+               else ("fillnodata",) if fillnodata
                else ALL_PRODUCTS + ("flow_accum",)
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -216,6 +227,26 @@ def main(argv: list[str]) -> int:
         for out, func in pairs:
             prox.write.mode("overwrite").parquet(out)
             print(f"wrote proximity tiles -> {out}")
+        return 0
+    if fillnodata:
+        # --fillnodata=default|DIV,MOD | --fillnodata-values=V1,...
+        from .operators.decode import decode_tiles
+        from .operators.fillnodata import fill_nearest_tiles
+        from .operators.proximity import target_class_mod, target_values
+
+        if opts.get("fillnodata-values"):
+            pred = target_values(
+                [float(v) for v in opts["fillnodata-values"].split(",")])
+        elif opts["fillnodata"] != "default":
+            div, mod = opts["fillnodata"].split(",")
+            pred = target_class_mod(float(div), int(mod))
+        else:
+            pred = None
+        filled = fill_nearest_tiles(
+            decode_tiles(images, tile_rows=tile_rows), valid=pred)
+        for out, func in pairs:
+            filled.write.mode("overwrite").parquet(out)
+            print(f"wrote fillnodata tiles -> {out}")
         return 0
     if overviews:
         # --overviews=2,4,8: gdaladdo — products on every reduced level,
