@@ -1242,6 +1242,27 @@ def _r_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "label", "val", "n_cells", "r0", "r1", "c0", "c1")
 
 
+def _r_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sieve filter (gdal_sieve deterministic one-shot variant): the
+    corpus DEMs quantized into classes (floor(v/16)), 4-connected
+    regions labeled by min flat index, then every region under 5 cells
+    assigned to its LARGEST neighbor (tie -> smallest label) using
+    pre-merge sizes. Pure-integer graph + copied values -> the DuckDB
+    oracle (polygonize reachability CTE + explicit neighbor argmax)
+    matches value-exactly. Engine side: operators/sieve.py two-level
+    tiled pipeline (band-local CC + slim seam/adjacency resolution)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.sieve import sieve_regions
+
+    images, _, _ = _corpus(spark)
+    tiles = decode_tiles(images, tile_rows=8).withColumn(
+        "px", F.transform(
+            "px", lambda v: F.when(v == F.lit(-9999.0), v)
+            .otherwise(F.floor(v / F.lit(16.0)).cast("float"))))
+    return sieve_regions(tiles, 5).select(
+        "image_id", "label", "val", "n_cells", "new_label", "sieved_val")
+
+
 # raster-calc pair: img000008 carries the corpus NODATA patch, so the
 # algebra's NODATA propagation is exercised; crop window chosen to split
 # across band boundaries at tile_rows=8 (rows 5..24 touch 3 bands)
@@ -1957,6 +1978,89 @@ def _corpus_oracles() -> dict[str, str]:
         FROM lab l JOIN pxc p
           ON p.image_id = l.image_id AND p.node = l.node
         GROUP BY l.image_id, l.label
+    """
+
+    # sieve: the polygonize CC (same classes, same min-label convention)
+    # + explicit different-value neighbor pairs; each region under the
+    # threshold takes its largest neighbor's (pre-merge size) label and
+    # value, tie -> smallest label — pure integers + copied values
+    sieve = f"""
+        WITH RECURSIVE pxc AS (
+            SELECT image_id, r, c, r * 32 + c AS node,
+                   floor(CAST(val AS DOUBLE) / 16.0) AS v
+            FROM {pixels} WHERE val <> CAST(-9999 AS FLOAT)
+        ),
+        ed AS (
+            SELECT a.image_id, a.node AS u, b.node AS w
+            FROM pxc a JOIN pxc b
+              ON b.image_id = a.image_id AND b.v = a.v
+             AND ((b.r = a.r AND b.c = a.c + 1)
+                  OR (b.r = a.r + 1 AND b.c = a.c))
+        ),
+        und AS (
+            SELECT image_id, u, w FROM ed
+            UNION SELECT image_id, w AS u, u AS w FROM ed
+        ),
+        reach AS (
+            SELECT image_id, node AS src, node AS dst FROM pxc
+            UNION
+            SELECT p.image_id, p.src, und.w AS dst
+            FROM reach p JOIN und
+              ON und.image_id = p.image_id AND und.u = p.dst
+        ),
+        lab AS (
+            SELECT image_id, src AS node, MIN(dst) AS label
+            FROM reach GROUP BY image_id, src
+        ),
+        reg AS (
+            SELECT l.image_id, l.label, MIN(p.v) AS val,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM lab l JOIN pxc p
+              ON p.image_id = l.image_id AND p.node = l.node
+            GROUP BY l.image_id, l.label
+        ),
+        adjd AS (
+            SELECT DISTINCT a.image_id, la.label AS l1, lb.label AS l2
+            FROM pxc a JOIN pxc b
+              ON b.image_id = a.image_id AND b.v <> a.v
+             AND ((b.r = a.r AND b.c = a.c + 1)
+                  OR (b.r = a.r + 1 AND b.c = a.c))
+            JOIN lab la ON la.image_id = a.image_id AND la.node = a.node
+            JOIN lab lb ON lb.image_id = b.image_id AND lb.node = b.node
+        ),
+        nbr AS (
+            SELECT image_id, l1, l2 FROM adjd
+            UNION SELECT image_id, l2 AS l1, l1 AS l2 FROM adjd
+        ),
+        cand AS (
+            SELECT n.image_id, n.l1, n.l2, r2.n AS nb, r2.val AS vb
+            FROM nbr n JOIN reg r2
+              ON r2.image_id = n.image_id AND r2.label = n.l2
+        ),
+        mx AS (
+            SELECT image_id, l1, max(nb) AS nbm
+            FROM cand GROUP BY image_id, l1
+        ),
+        win AS (
+            SELECT c.image_id, c.l1, min(c.l2) AS wl
+            FROM cand c JOIN mx
+              ON mx.image_id = c.image_id AND mx.l1 = c.l1
+             AND c.nb = mx.nbm
+            GROUP BY c.image_id, c.l1
+        ),
+        winv AS (
+            SELECT w.image_id, w.l1, w.wl, r.val AS wv
+            FROM win w JOIN reg r
+              ON r.image_id = w.image_id AND r.label = w.wl
+        )
+        SELECT r.image_id, r.label, r.val, r.n AS n_cells,
+               CASE WHEN r.n < 5 AND wv.wl IS NOT NULL THEN wv.wl
+                    ELSE r.label END AS new_label,
+               CASE WHEN r.n < 5 AND wv.wl IS NOT NULL THEN wv.wv
+                    ELSE r.val END AS sieved_val
+        FROM reg r
+        LEFT JOIN winv wv
+          ON wv.image_id = r.image_id AND wv.l1 = r.label
     """
 
     # contour: marching squares re-derived per 2x2 window. Corner state
@@ -2744,6 +2848,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
+        "r_sieve": sieve,
         "r_contour": contour,
         "r_basins": basins,
         "r_color_relief": color,
@@ -2868,8 +2973,8 @@ CONTRACT_ORDER = [
     "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
-    "r_resample_bilinear", "r_warp_affine",
-    "r_reproject", "r_polygonize", "r_contour", "r_mosaic",
+    "r_resample_bilinear",
+    "r_reproject", "r_polygonize", "r_sieve", "r_contour", "r_mosaic",
     "r_raster_calc", "r_crop", "r_scale_stretch", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round). q_running_sum/q_histogram
@@ -2893,6 +2998,12 @@ CONTRACT_ORDER = [
     # --- row stays evidenced in-window by r_phash_dedup, the CC
     # --- clustering machinery by q_dedup_clusters (identical operator) --
     "r_phash_clusters",
+    # --- r_warp_affine moved here round 5 for r_sieve: the warp/regrid
+    # --- family stays evidenced in-window by r_reproject (the
+    # --- generalized non-axis-aligned path, whose rotation=0 case is
+    # --- pinned equal to the affine warp by tests) and r_mosaic (the
+    # --- shared-canvas warp) --------------------------------------------
+    "r_warp_affine",
     # --- q_embedding_stats likewise (r5, for r_basins): §2 rows 34-37
     # --- stay evidenced in-window by q_text_stats --------------------------
     "q_embedding_stats",
@@ -2955,6 +3066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,
+            "r_sieve": _r_sieve,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,
             "r_basins": _r_basins,

@@ -67,6 +67,14 @@ floor(v/DIV) % MOD == 0 (everything else refilled); or
 "fillnodata" writes per-tile filled/dist2/src_r/src_c tables. Mutually
 exclusive with the other modes.
 
+--sieve=THRESHOLD (gdal_sieve deterministic variant, r5): merge
+connected same-value regions smaller than THRESHOLD cells into their
+largest adjacent region (tie -> smallest label; one-shot, no cascade —
+documented deviation from GDAL's order-dependent merging).
+--sieve-class=K first classifies by floor(v/K) like --polygonize. FUNC
+"sieve" writes the sieved tile table, FUNC "sieve_regions" the
+region-level decision table. Mutually exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -106,17 +114,19 @@ def main(argv: list[str]) -> int:
     contour = opts.get("contour")
     proximity = opts.get("proximity") or opts.get("proximity-values")
     fillnodata = opts.get("fillnodata") or opts.get("fillnodata-values")
+    sieve = opts.get("sieve")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity, fillnodata)
+             contour, proximity, fillnodata, sieve)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
-              "--fillnodata are mutually exclusive")
+              "--fillnodata / --sieve are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
                else ("proximity",) if proximity
                else ("fillnodata",) if fillnodata
+               else ("sieve", "sieve_regions") if sieve
                else ALL_PRODUCTS + ("flow_accum",)
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -247,6 +257,27 @@ def main(argv: list[str]) -> int:
         for out, func in pairs:
             filled.write.mode("overwrite").parquet(out)
             print(f"wrote fillnodata tiles -> {out}")
+        return 0
+    if sieve:
+        # --sieve=THRESHOLD [--sieve-class=K]: gdal_sieve variant
+        from .operators.decode import decode_tiles
+        from .operators.sieve import sieve_regions, sieve_tiles
+
+        tiles = decode_tiles(images, tile_rows=tile_rows)
+        k = float(opts.get("sieve-class", 0))
+        if k > 0:
+            from pyspark.sql import functions as F
+
+            tiles = tiles.withColumn(
+                "px", F.transform(
+                    "px", lambda v: F.when(v == F.lit(-9999.0), v)
+                    .otherwise(F.floor(v / F.lit(k)).cast("float"))))
+        thr = int(sieve)
+        for out, func in pairs:
+            res = (sieve_regions(tiles, thr) if func == "sieve_regions"
+                   else sieve_tiles(tiles, thr))
+            res.write.mode("overwrite").parquet(out)
+            print(f"wrote {func} -> {out}")
         return 0
     if overviews:
         # --overviews=2,4,8: gdaladdo — products on every reduced level,
