@@ -1242,6 +1242,25 @@ def _r_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "label", "val", "n_cells", "r0", "r1", "c0", "c1")
 
 
+def _r_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scattered-point interpolation (gdal_grid invdist parity): the
+    corpus points (z derived as x*0.5 + y*0.25, exact binary-fraction
+    multiplies) IDW-interpolated onto a 48x48 grid (cellsize 8, radius
+    24, power 2). The engine is pure JVM (bucket equi-join + sorted
+    F.aggregate fold in point_id order); the oracle brute-forces all
+    (cell, point) pairs and folds the identical term list with
+    list_reduce — identical operand order, so every z is bit-exact
+    (NODATA cells included)."""
+    from pycuda_raster_spark.operators.gridding import grid_idw
+
+    _, _, points = _corpus(spark)
+    pts = points.select(
+        "point_id", "x", "y",
+        (F.col("x") * F.lit(0.5) + F.col("y") * F.lit(0.25)).alias("z"))
+    return grid_idw(spark, pts, x0=0.0, y0=0.0, cellsize=8.0,
+                    out_h=48, out_w=48, radius=24.0, power=2)
+
+
 def _r_sieve(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sieve filter (gdal_sieve deterministic one-shot variant): the
     corpus DEMs quantized into classes (floor(v/16)), 4-connected
@@ -1978,6 +1997,56 @@ def _corpus_oracles() -> dict[str, str]:
         FROM lab l JOIN pxc p
           ON p.image_id = l.image_id AND p.node = l.node
         GROUP BY l.image_id, l.label
+    """
+
+    # gdal_grid invdist: brute-force all (cell, point) pairs within the
+    # radius; the weighted sums fold in point_id order via list_reduce
+    # (the repo's established F.aggregate-fold replication recipe), so
+    # every double matches the engine's sorted JVM fold bit-for-bit.
+    # All grid literals are binary fractions; an exact hit (d2 = 0)
+    # takes the smallest point_id's z outright; folds exclude d2 = 0.
+    grid_idw = f"""
+        WITH pts AS (
+            SELECT point_id, x, y, x * 0.5 + y * 0.25 AS z
+            FROM {points}
+        ),
+        cells AS (
+            SELECT rr.r, cc.c,
+                   0.0 + (CAST(cc.c AS DOUBLE) + 0.5) * 8.0 AS cx,
+                   0.0 + (CAST(rr.r AS DOUBLE) + 0.5) * 8.0 AS cy
+            FROM (SELECT CAST(a AS BIGINT) AS r
+                  FROM generate_series(0, 47) t(a)) rr,
+                 (SELECT CAST(b AS BIGINT) AS c
+                  FROM generate_series(0, 47) t2(b)) cc
+        ),
+        cand AS (
+            SELECT g.r, g.c, p.point_id, p.z,
+                   (g.cx - p.x) * (g.cx - p.x)
+                   + (g.cy - p.y) * (g.cy - p.y) AS d2
+            FROM cells g JOIN pts p
+              ON (g.cx - p.x) * (g.cx - p.x)
+                 + (g.cy - p.y) * (g.cy - p.y) <= 576.0
+        ),
+        agg AS (
+            SELECT r, c,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(z / d2 ORDER BY point_id)
+                           FILTER (WHERE d2 > 0.0)),
+                       (a, b) -> a + b) AS num,
+                   list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                       list(1.0 / d2 ORDER BY point_id)
+                           FILTER (WHERE d2 > 0.0)),
+                       (a, b) -> a + b) AS den,
+                   min(point_id) FILTER (WHERE d2 = 0.0) AS hit0
+            FROM cand GROUP BY r, c
+        )
+        SELECT g.r, g.c,
+               CASE WHEN a.hit0 IS NOT NULL THEN hp.z
+                    WHEN a.den > 0.0 THEN a.num / a.den
+                    ELSE CAST(-9999 AS DOUBLE) END AS z
+        FROM cells g
+        LEFT JOIN agg a ON a.r = g.r AND a.c = g.c
+        LEFT JOIN pts hp ON hp.point_id = a.hit0
     """
 
     # sieve: the polygonize CC (same classes, same min-label convention)
@@ -2849,6 +2918,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
         "r_sieve": sieve,
+        "r_grid_idw": grid_idw,
         "r_contour": contour,
         "r_basins": basins,
         "r_color_relief": color,
@@ -2967,14 +3037,15 @@ CONTRACT_ORDER = [
     "q_dedup_clusters", "q_pack_shards", "q_contamination",
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope",
-    "r_focal_hillshade", "r_focal_terrain", "r_zonal_slope",
+    "r_focal_hillshade", "r_focal_terrain",
     "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
     "r_proximity", "r_fillnodata",
     "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
     "r_resample_bilinear",
-    "r_reproject", "r_polygonize", "r_sieve", "r_contour", "r_mosaic",
+    "r_reproject", "r_polygonize", "r_sieve", "r_grid_idw",
+    "r_contour", "r_mosaic",
     "r_raster_calc", "r_crop", "r_scale_stretch", "r_multimodal_features",
     # --- oracled overflow (beyond the driver's 50-row cap; exercised by
     # --- tools/check_oracles.py every round). q_running_sum/q_histogram
@@ -2998,6 +3069,10 @@ CONTRACT_ORDER = [
     # --- row stays evidenced in-window by r_phash_dedup, the CC
     # --- clustering machinery by q_dedup_clusters (identical operator) --
     "r_phash_clusters",
+    # --- r_zonal_slope moved here round 5 for r_grid_idw: the zonal row
+    # --- stays evidenced in-window by r_flagship_zonal (same operator)
+    # --- and the slope numerics by r_focal_slope ------------------------
+    "r_zonal_slope",
     # --- r_warp_affine moved here round 5 for r_sieve: the warp/regrid
     # --- family stays evidenced in-window by r_reproject (the
     # --- generalized non-axis-aligned path, whose rotation=0 case is
@@ -3067,6 +3142,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,
             "r_sieve": _r_sieve,
+            "r_grid_idw": _r_grid_idw,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,
             "r_basins": _r_basins,

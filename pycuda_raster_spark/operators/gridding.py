@@ -1,0 +1,144 @@
+"""Scattered-point interpolation to a raster grid (gdal_grid parity,
+``invdist`` algorithm) — the inverse of zonal statistics: each output
+cell takes the inverse-distance-weighted mean of the points within
+``radius`` of its center,
+
+    z(cell) = sum_i(z_i / d_i^p) / sum_i(1 / d_i^p),   d_i <= radius,
+
+with GDAL's exact-hit rule (a point coinciding with the cell center
+wins outright — smallest point_id if several) and NODATA where no point
+is in range.  Powers 1 and 2 are EXACT cross-engine (p=2 needs only
+``1/d2``; p=1 adds one correctly-rounded sqrt); other powers would go
+through ``pow`` whose libm/JVM ulp differences break bit-parity, so
+they are rejected rather than silently approximate.
+
+Determinism: the weighted sums fold in ``point_id`` order — the engine
+sorts each cell's candidate list (``sort_array`` on a struct keyed by
+point_id) and folds with ``F.aggregate``; the DuckDB oracle mirrors it
+with ``list_reduce(list_prepend(0.0, list(term ORDER BY point_id)))``.
+Identical operand order + correctly-rounded double ops = bit-identical
+results (the repo's established fold recipe).
+
+Distribution (100 TB posture): ZERO Python stages — everything is
+Column expressions and one JVM aggregation.  Points and cells are
+bucketed into radius-sized squares; the cell side expands to its 3x3
+bucket neighborhood (slim rows: bucket + center coords only) and
+equi-joins the points on the bucket id, so the join is a hash join on a
+bounded key, never a cross product.  A point within ``radius`` of a
+cell center is always within one bucket step (bucket width = radius),
+so the expansion is lossless; the exact ``d2 <= radius^2`` filter runs
+on the joined pairs.  Skewed point clusters shuffle by bucket id —
+AQE's skew-join splitting applies.  Output cardinality is the grid
+itself (one row per cell), built from ``spark.range`` — no driver-side
+loops, no collects.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+NODATA = -9999.0
+
+
+def grid_idw(
+    spark: SparkSession,
+    points: DataFrame,
+    x0: float,
+    y0: float,
+    cellsize: float,
+    out_h: int,
+    out_w: int,
+    radius: float,
+    power: int = 2,
+    nodata: float = NODATA,
+    x_col: str = "x",
+    y_col: str = "y",
+    z_col: str = "z",
+    id_col: str = "point_id",
+) -> DataFrame:
+    """gdal_grid invdist onto an ``out_h`` x ``out_w`` grid anchored at
+    (``x0``, ``y0``) with square cells of ``cellsize``: returns
+    ``(r, c, z)`` — one row per output cell, ``z`` = IDW mean of the
+    points within ``radius`` of the cell center (NODATA if none;
+    exact-hit points win outright)."""
+    if power not in (1, 2):
+        raise ValueError("grid_idw: only powers 1 and 2 are exact "
+                         "cross-engine; refusing approximate pow()")
+    R = float(radius)
+    w = int(out_w)
+
+    cells = spark.range(int(out_h) * w).select(
+        ((F.col("id") - F.pmod("id", F.lit(w))) / w).cast("long").alias("r"),
+        F.pmod("id", F.lit(w)).cast("long").alias("c"),
+    ).select(
+        "r", "c",
+        (F.lit(float(x0)) + (F.col("c").cast("double") + F.lit(0.5))
+         * F.lit(float(cellsize))).alias("cx"),
+        (F.lit(float(y0)) + (F.col("r").cast("double") + F.lit(0.5))
+         * F.lit(float(cellsize))).alias("cy"),
+    )
+
+    # 3x3 bucket expansion on the slim cell side (bucket width = radius)
+    offs = F.array(*[F.struct(F.lit(dx).alias("dx"), F.lit(dy).alias("dy"))
+                     for dx in (-1, 0, 1) for dy in (-1, 0, 1)])
+    cells9 = cells.select(
+        "r", "c", "cx", "cy", F.explode(offs).alias("o")
+    ).select(
+        "r", "c", "cx", "cy",
+        (F.floor(F.col("cx") / F.lit(R)).cast("long")
+         + F.col("o.dx")).alias("bx"),
+        (F.floor(F.col("cy") / F.lit(R)).cast("long")
+         + F.col("o.dy")).alias("by"),
+    )
+
+    pts = points.select(
+        F.col(id_col).alias("__pid"),
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+        F.col(z_col).cast("double").alias("__z"),
+        F.floor(F.col(x_col).cast("double") / F.lit(R)).cast("long")
+        .alias("bx"),
+        F.floor(F.col(y_col).cast("double") / F.lit(R)).cast("long")
+        .alias("by"),
+    )
+
+    d2 = ((F.col("cx") - F.col("__x")) * (F.col("cx") - F.col("__x"))
+          + (F.col("cy") - F.col("__y")) * (F.col("cy") - F.col("__y")))
+    cand = (cells9.join(pts, ["bx", "by"])
+            .withColumn("d2", d2)
+            .filter(F.col("d2") <= F.lit(R * R)))
+
+    cl = F.sort_array(F.collect_list(
+        F.struct(F.col("__pid").alias("pid"), F.col("__z").alias("z"),
+                 F.col("d2").alias("d2"))))
+
+    def _wsum(term):
+        # fold only the d2 > 0 elements: ANSI mode (Spark 4 default)
+        # makes x/0 THROW, and an exact-hit cell must not evaluate the
+        # IDW branch's divisions. Closure factory — a defaulted second
+        # lambda param would bind the array index (the repo's documented
+        # HOF arity gotcha).
+        nz = F.filter(F.col("__cl"), lambda t: t["d2"] > F.lit(0.0))
+        return F.aggregate(nz, F.lit(0.0), lambda acc, t: acc + term(t))
+
+    if power == 2:
+        wnum = _wsum(lambda t: t["z"] / t["d2"])
+        wden = _wsum(lambda t: F.lit(1.0) / t["d2"])
+    else:  # power == 1: one correctly-rounded sqrt, still exact
+        wnum = _wsum(lambda t: t["z"] / F.sqrt(t["d2"]))
+        wden = _wsum(lambda t: F.lit(1.0) / F.sqrt(t["d2"]))
+
+    hits = F.filter(F.col("__cl"), lambda t: t["d2"] == F.lit(0.0))
+    agg = (cand.groupBy("r", "c").agg(cl.alias("__cl"))
+           .select(
+               "r", "c",
+               F.when(F.size(hits) > 0,
+                      F.element_at(hits, 1)["z"])
+               .otherwise(wnum / wden).alias("__z")))
+
+    return (cells.select("r", "c")
+            .join(agg, ["r", "c"], "left")
+            .select("r", "c",
+                    F.coalesce(F.col("__z"), F.lit(float(nodata)))
+                    .alias("z")))
