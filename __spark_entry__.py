@@ -1242,6 +1242,34 @@ def _r_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "label", "val", "n_cells", "r0", "r1", "c0", "c1")
 
 
+def _r_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Viewshed (gdal_viewshed parity, exact DDA variant): observer at
+    (16,16) + 2.0, nearest-cell dominant-axis sampling with half-up
+    integer rounding, slopes = (z - z_obs) / sqrt(integer d2) in cell
+    units, strict-less visibility (grazing blocks), NODATA target
+    hidden / intermediate transparent / observer hides the image. All
+    positions are integer math and every slope is one correctly-rounded
+    sqrt + subtract + divide in identical order, so the 0/1 grid is
+    value-exact vs the oracle's per-sample re-derivation."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.viewshed import viewshed_tiles
+
+    images, _, _ = _corpus(spark)
+    out = viewshed_tiles(decode_tiles(images, tile_rows=8),
+                         orow=16, ocol=16, oz=2.0)
+    w = 32
+    return out.select(
+        "image_id", "ty0",
+        F.posexplode("visible").alias("pos", "visible")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("visible").cast("long").alias("visible"),
+    )
+
+
 def _r_grid_idw(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scattered-point interpolation (gdal_grid invdist parity): the
     corpus points (z derived as x*0.5 + y*0.25, exact binary-fraction
@@ -1997,6 +2025,68 @@ def _corpus_oracles() -> dict[str, str]:
         FROM lab l JOIN pxc p
           ON p.image_id = l.image_id AND p.node = l.node
         GROUP BY l.image_id, l.label
+    """
+
+    # viewshed: per-target DDA samples re-derived with pure integer
+    # math. floor division is rebuilt from DuckDB's truncating // via
+    # the pmod identity fld(a,b) = (a - ((a % b + b) % b)) / b (exact —
+    # the numerator is divisible). Slopes: one correctly-rounded sqrt of
+    # an integer + subtract + divide, identical order to the engine.
+    # NODATA intermediates drop out via FILTER (max over empty = NULL ->
+    # coalesce(-infinity) = transparent).
+    _vs_fld = ("(({a}) - (((({a}) % ({b})) + ({b})) % ({b}))) // ({b})")
+    _vs_sr = _vs_fld.format(a="2 * k.k * t.dr + t.n", b="2 * t.n")
+    _vs_sc = _vs_fld.format(a="2 * k.k * t.dc + t.n", b="2 * t.n")
+    viewshed = f"""
+        WITH px AS (
+            SELECT image_id, r, c, val FROM {pixels}
+        ),
+        obs AS (
+            SELECT image_id, CAST(val AS DOUBLE) + 2.0 AS z0,
+                   (val <> {nd}) AS ok
+            FROM px WHERE r = 16 AND c = 16
+        ),
+        tgt AS (
+            SELECT image_id, r, c, val,
+                   r - 16 AS dr, c - 16 AS dc,
+                   greatest(abs(r - 16), abs(c - 16)) AS n,
+                   (r - 16) * (r - 16) + (c - 16) * (c - 16) AS d2
+            FROM px
+        ),
+        ks AS (SELECT CAST(a AS BIGINT) AS k
+               FROM generate_series(1, 31) s(a)),
+        samp AS (
+            SELECT t.image_id, t.r, t.c,
+                   16 + {_vs_sr} AS sr,
+                   16 + {_vs_sc} AS sc
+            FROM tgt t JOIN ks k ON k.k < t.n
+        ),
+        mx AS (
+            SELECT s.image_id, s.r, s.c,
+                   max((CAST(p.val AS DOUBLE) - o.z0)
+                       / sqrt(CAST((s.sr - 16) * (s.sr - 16)
+                                   + (s.sc - 16) * (s.sc - 16)
+                              AS DOUBLE)))
+                       FILTER (WHERE p.val <> {nd}) AS ms
+            FROM samp s
+            JOIN px p ON p.image_id = s.image_id AND p.r = s.sr
+                     AND p.c = s.sc
+            JOIN obs o ON o.image_id = s.image_id
+            GROUP BY s.image_id, s.r, s.c
+        )
+        SELECT t.image_id, t.r, t.c,
+               CAST(CASE
+                   WHEN NOT o.ok THEN 0
+                   WHEN t.val = {nd} THEN 0
+                   WHEN t.n = 0 THEN 1
+                   WHEN coalesce(mx.ms, CAST('-infinity' AS DOUBLE))
+                        < (CAST(t.val AS DOUBLE) - o.z0)
+                          / sqrt(CAST(t.d2 AS DOUBLE)) THEN 1
+                   ELSE 0 END AS BIGINT) AS visible
+        FROM tgt t
+        JOIN obs o ON o.image_id = t.image_id
+        LEFT JOIN mx ON mx.image_id = t.image_id AND mx.r = t.r
+                    AND mx.c = t.c
     """
 
     # gdal_grid invdist: brute-force all (cell, point) pairs within the
@@ -2919,6 +3009,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_polygonize": polygonize,
         "r_sieve": sieve,
         "r_grid_idw": grid_idw,
+        "r_viewshed": viewshed,
         "r_contour": contour,
         "r_basins": basins,
         "r_color_relief": color,
@@ -3037,7 +3128,7 @@ CONTRACT_ORDER = [
     "q_dedup_clusters", "q_pack_shards", "q_contamination",
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope",
-    "r_focal_hillshade", "r_focal_terrain",
+    "r_focal_terrain", "r_viewshed",
     "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
     "r_proximity", "r_fillnodata",
     "r_color_relief", "r_pip_join",
@@ -3069,6 +3160,10 @@ CONTRACT_ORDER = [
     # --- row stays evidenced in-window by r_phash_dedup, the CC
     # --- clustering machinery by q_dedup_clusters (identical operator) --
     "r_phash_clusters",
+    # --- r_focal_hillshade moved here round 5 for r_viewshed: the
+    # --- hillshade row stays evidenced in-window by r_hillshade_md
+    # --- (same Horn gradient chain + azimuth weighting) -----------------
+    "r_focal_hillshade",
     # --- r_zonal_slope moved here round 5 for r_grid_idw: the zonal row
     # --- stays evidenced in-window by r_flagship_zonal (same operator)
     # --- and the slope numerics by r_focal_slope ------------------------
@@ -3143,6 +3238,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_polygonize": _r_polygonize,
             "r_sieve": _r_sieve,
             "r_grid_idw": _r_grid_idw,
+            "r_viewshed": _r_viewshed,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,
             "r_basins": _r_basins,
