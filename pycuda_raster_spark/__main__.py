@@ -75,6 +75,12 @@ documented deviation from GDAL's order-dependent merging).
 "sieve" writes the sieved tile table, FUNC "sieve_regions" the
 region-level decision table. Mutually exclusive with the other modes.
 
+--viewshed=OROW,OCOL[,OZ[,MD]] (gdal_viewshed, r5): 0/1 visibility grid
+from an observer at cell (OROW,OCOL) raised OZ (default 2.0) above the
+terrain; MD = max distance in cells (gdal_viewshed -md; bands beyond it
+are pruned before the shuffle). FUNC "viewshed" writes the per-tile
+visibility table. Mutually exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -115,18 +121,20 @@ def main(argv: list[str]) -> int:
     proximity = opts.get("proximity") or opts.get("proximity-values")
     fillnodata = opts.get("fillnodata") or opts.get("fillnodata-values")
     sieve = opts.get("sieve")
+    viewshed = opts.get("viewshed")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity, fillnodata, sieve)
+             contour, proximity, fillnodata, sieve, viewshed)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
-              "--fillnodata / --sieve are mutually exclusive")
+              "--fillnodata / --sieve / --viewshed are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
                else ("proximity",) if proximity
                else ("fillnodata",) if fillnodata
                else ("sieve", "sieve_regions") if sieve
+               else ("viewshed",) if viewshed
                else ALL_PRODUCTS + ("flow_accum",)
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -278,6 +286,21 @@ def main(argv: list[str]) -> int:
                    else sieve_tiles(tiles, thr))
             res.write.mode("overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
+        return 0
+    if viewshed:
+        # --viewshed=OROW,OCOL[,OZ[,MD]]: gdal_viewshed
+        from .operators.decode import decode_tiles
+        from .operators.viewshed import viewshed_tiles
+
+        parts = viewshed.split(",")
+        orow, ocol = int(parts[0]), int(parts[1])
+        oz = float(parts[2]) if len(parts) > 2 else 2.0
+        md = float(parts[3]) if len(parts) > 3 else None
+        vis = viewshed_tiles(decode_tiles(images, tile_rows=tile_rows),
+                             orow=orow, ocol=ocol, oz=oz, max_dist=md)
+        for out, func in pairs:
+            vis.write.mode("overwrite").parquet(out)
+            print(f"wrote viewshed tiles -> {out}")
         return 0
     if overviews:
         # --overviews=2,4,8: gdaladdo — products on every reduced level,

@@ -144,6 +144,28 @@ def test_tiled_equals_twin(spark, images_df, tile_rows):
             assert np.array_equal(v, want[ty0:ty0 + b["th"]]), (iid, ty0)
 
 
+def test_cli_viewshed(spark, images_df, tmp_path):
+    """--viewshed CLI mode == grid twin on image 0."""
+    from pycuda_raster_spark.functions import codecs
+    from pycuda_raster_spark.fixtures import FMT_CYCLE, grid_for
+    from pycuda_raster_spark.__main__ import main
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out = str(tmp_path / "vs")
+    assert main([inp, out, "viewshed", "--viewshed=16,16,2.0",
+                 "--tile-rows=8", "--cores=4"]) == 0
+    rows = (spark.read.parquet(out)
+            .filter(F.col("image_id") == "img000000").collect())
+    rows.sort(key=lambda r: r.ty0)
+    got = np.vstack([np.asarray(r.visible, np.int64).reshape(r.th, r.w)
+                     for r in rows])
+    fmt = FMT_CYCLE[0]
+    g = codecs.decode(
+        codecs.encode(grid_for(0, SPEC), fmt), fmt, SPEC.w, SPEC.h)
+    np.testing.assert_array_equal(got, viewshed_grid(g, 16, 16))
+
+
 def test_tiled_max_dist_prunes_bands(spark, images_df):
     """With max_dist, bands outside the observer window are dropped
     before the shuffle and absent from the output."""
