@@ -1242,6 +1242,33 @@ def _r_polygonize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "label", "val", "n_cells", "r0", "r1", "c0", "c1")
 
 
+def _r_curvature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zevenbergen-Thorne profile/plan curvature (GRASS r.slope.aspect /
+    ArcGIS Curvature family): pure rational arithmetic (no
+    transcendentals), fixed operand order, float32 cast — every
+    per-pixel value is bit-exact vs the DuckDB window re-derivation.
+    Rows = cells whose full 3x3 window is valid (the one-ring NODATA
+    policy), matching the oracle's window join exactly."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import curvature_tiles
+
+    images, _, _ = _corpus(spark)
+    out = curvature_tiles(decode_tiles(images, tile_rows=8))
+    w = 32
+    return out.select(
+        "image_id", "ty0",
+        F.posexplode(F.arrays_zip("curv_profile", "curv_plan")
+                     ).alias("pos", "z")
+    ).filter(F.col("z.curv_profile") != F.lit(-9999.0)).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("z.curv_profile").cast("double").alias("curv_profile"),
+        F.col("z.curv_plan").cast("double").alias("curv_plan"),
+    )
+
+
 def _r_viewshed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Viewshed (gdal_viewshed parity, exact DDA variant): observer at
     (16,16) + 2.0, nearest-cell dominant-axis sampling with half-up
@@ -2025,6 +2052,35 @@ def _corpus_oracles() -> dict[str, str]:
         FROM lab l JOIN pxc p
           ON p.image_id = l.image_id AND p.node = l.node
         GROUP BY l.image_id, l.label
+    """
+
+    # Zevenbergen-Thorne curvature: rational arithmetic only — the D/E/
+    # F/G/H terms and both curvatures replay the engine's exact operand
+    # order; binary-fraction literals; flat windows (G = H = 0) emit 0
+    curvature = f"""
+        WITH {horn_win},
+        cv AS (
+            SELECT image_id, r, c,
+                   ((d + f) * 0.5 - ee) / (cellsize * cellsize) AS dd,
+                   ((b + h) * 0.5 - ee) / (cellsize * cellsize) AS e2,
+                   (((cc - a) + g) - i2)
+                       / (4.0 * (cellsize * cellsize)) AS ff,
+                   (f - d) / (2.0 * cellsize) AS g2,
+                   (b - h) / (2.0 * cellsize) AS h2
+            FROM win
+        )
+        SELECT image_id, r, c,
+               CAST(CAST(CASE WHEN g2 * g2 + h2 * h2 = 0.0 THEN 0.0
+                    ELSE (-2.0 * ((dd * (g2 * g2) + e2 * (h2 * h2))
+                                  + ff * g2 * h2))
+                         / (g2 * g2 + h2 * h2)
+                    END AS FLOAT) AS DOUBLE) AS curv_profile,
+               CAST(CAST(CASE WHEN g2 * g2 + h2 * h2 = 0.0 THEN 0.0
+                    ELSE (2.0 * ((dd * (h2 * h2) + e2 * (g2 * g2))
+                                 - ff * g2 * h2))
+                         / (g2 * g2 + h2 * h2)
+                    END AS FLOAT) AS DOUBLE) AS curv_plan
+        FROM cv
     """
 
     # viewshed: per-target DDA samples re-derived with pure integer
@@ -3010,6 +3066,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_sieve": sieve,
         "r_grid_idw": grid_idw,
         "r_viewshed": viewshed,
+        "r_curvature": curvature,
         "r_contour": contour,
         "r_basins": basins,
         "r_color_relief": color,
@@ -3164,6 +3221,10 @@ CONTRACT_ORDER = [
     # --- hillshade row stays evidenced in-window by r_hillshade_md
     # --- (same Horn gradient chain + azimuth weighting) -----------------
     "r_focal_hillshade",
+    # --- r_curvature (r5) lands directly in the oracled overflow: the
+    # --- 3x3 focal family is already evidenced in-window by
+    # --- r_focal_slope / r_focal_terrain; per-pixel value-exact here ----
+    "r_curvature",
     # --- r_zonal_slope moved here round 5 for r_grid_idw: the zonal row
     # --- stays evidenced in-window by r_flagship_zonal (same operator)
     # --- and the slope numerics by r_focal_slope ------------------------
@@ -3239,6 +3300,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_sieve": _r_sieve,
             "r_grid_idw": _r_grid_idw,
             "r_viewshed": _r_viewshed,
+            "r_curvature": _r_curvature,
             "r_overviews": _r_overviews,
             "r_contour": _r_contour,
             "r_basins": _r_basins,

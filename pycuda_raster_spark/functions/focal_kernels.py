@@ -209,6 +209,61 @@ def terrain_products(
     return tri, tpi, rough
 
 
+def curvature_products(
+    grid: np.ndarray,
+    cellsize: float,
+    halo_top: np.ndarray | None = None,
+    halo_bot: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Zevenbergen & Thorne (1987) profile and plan curvature (GRASS
+    r.slope.aspect / ArcGIS Curvature family). With the 3x3 letters
+    a b c / d e f / g h i and L = cellsize:
+
+        D = ((d + f) * 0.5 - e) / L^2      E = ((b + h) * 0.5 - e) / L^2
+        F = (((c - a) + g) - i) / (4 L^2)
+        G = (f - d) / (2 L)                H = (b - h) / (2 L)
+        profile = (-2 (D G^2 + E H^2 + F G H)) / (G^2 + H^2)
+        plan    = ( 2 (D H^2 + E G^2 - F G H)) / (G^2 + H^2)
+
+    Flat windows (G = H = 0) emit 0. Profile/plan are invariant under
+    axis reflection (F, G each flip sign with an axis, F*G*H and the
+    squares do not change), so the south-up row convention needs no sign
+    fixups. Same padded-window / NODATA one-ring policy as the other
+    kernels; every op is fixed-order double arithmetic cast to float32,
+    so the DuckDB oracle reproduces both outputs bit-for-bit."""
+    g = _padded(np.asarray(grid, dtype=np.float64), halo_top, halo_bot)
+    nd = g == NODATA
+
+    a, b, c = g[:-2, :-2], g[:-2, 1:-1], g[:-2, 2:]
+    d, e, f = g[1:-1, :-2], g[1:-1, 1:-1], g[1:-1, 2:]
+    gg, hh, ii = g[2:, :-2], g[2:, 1:-1], g[2:, 2:]
+
+    bad = (
+        nd[:-2, :-2] | nd[:-2, 1:-1] | nd[:-2, 2:]
+        | nd[1:-1, :-2] | nd[1:-1, 1:-1] | nd[1:-1, 2:]
+        | nd[2:, :-2] | nd[2:, 1:-1] | nd[2:, 2:]
+    )
+
+    L = float(cellsize)
+    L2 = L * L
+    D = ((d + f) * 0.5 - e) / L2
+    E = ((b + hh) * 0.5 - e) / L2
+    FF = (((c - a) + gg) - ii) / (4.0 * L2)
+    G = (f - d) / (2.0 * L)
+    H = (b - hh) / (2.0 * L)
+    den = G * G + H * H
+    flat = den == 0.0
+    den_safe = np.where(flat, 1.0, den)
+    prof = (-2.0 * ((D * (G * G) + E * (H * H)) + FF * G * H)) / den_safe
+    plan = (2.0 * ((D * (H * H) + E * (G * G)) - FF * G * H)) / den_safe
+    prof = np.where(flat, 0.0, prof)
+    plan = np.where(flat, 0.0, plan)
+
+    prof = np.where(bad, NODATA, prof).astype(np.float32)
+    plan = np.where(bad, NODATA, plan).astype(np.float32)
+    return prof, plan
+
+
 # 1/sqrt(2) as the fixed double literal shared with the SQL oracle
 # (interpolated there as CAST('0.7071067811865476' AS DOUBLE))
 INV_SQRT2 = 0.7071067811865476

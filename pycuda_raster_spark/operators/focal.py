@@ -131,6 +131,53 @@ def terrain_tiles(tiles: DataFrame,
     return tiles.select(*cols).mapInPandas(gen, schema=TERRAIN_SCHEMA)
 
 
+CURV_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, caption string, psnr double, "
+    "curv_profile array<float>, curv_plan array<float>"
+)
+
+
+def curvature_tiles(tiles: DataFrame) -> DataFrame:
+    """tiles with halo_top/halo_bot -> Zevenbergen-Thorne profile + plan
+    curvature tiles (``functions/focal_kernels.py curvature_products``)
+    — same one-pass mapInPandas shape as ``terrain_tiles``; the two
+    curvatures share the window and the D/E/F/G/H terms."""
+    from ..functions.focal_kernels import curvature_products
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            out = {
+                "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
+                "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
+                "h": pdf["h"], "cellsize": pdf["cellsize"], "x0": pdf["x0"],
+                "y0": pdf["y0"], "crs": pdf["crs"], "caption": pdf["caption"],
+                "psnr": pdf["psnr"],
+                "curv_profile": [None] * n, "curv_plan": [None] * n,
+            }
+            for i in range(n):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                grid = np.asarray(
+                    pdf["px"].iat[i], dtype=np.float32).reshape(th, w)
+                ht = pdf["halo_top"].iat[i]
+                hb = pdf["halo_bot"].iat[i]
+                prof, plan = curvature_products(
+                    grid, float(pdf["cellsize"].iat[i]),
+                    halo_top=None if ht is None
+                    else np.asarray(ht, dtype=np.float32),
+                    halo_bot=None if hb is None
+                    else np.asarray(hb, dtype=np.float32),
+                )
+                out["curv_profile"][i] = prof.ravel()
+                out["curv_plan"][i] = plan.ravel()
+            yield pd.DataFrame(out)
+
+    cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
+            "y0", "crs", "caption", "psnr", "px", "halo_top", "halo_bot"]
+    return tiles.select(*cols).mapInPandas(gen, schema=CURV_SCHEMA)
+
+
 HS_MD_SCHEMA = (
     "image_id string, tile_y int, ty0 int, th int, w int, h int, "
     "cellsize double, x0 double, y0 double, crs string, caption string, psnr double, "
