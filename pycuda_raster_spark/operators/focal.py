@@ -225,10 +225,12 @@ FLOW_SCHEMA = (
 )
 
 
-def flow_dir_tiles(tiles: DataFrame) -> DataFrame:
+def flow_dir_tiles(tiles: DataFrame, keep_px: bool = False) -> DataFrame:
     """tiles with halo_top/halo_bot -> D8 flow-direction tiles (ESRI
     codes; functions/focal_kernels.flow_dir). Same mapInPandas shape as
-    terrain_tiles — the hydrology entry point the gdaldem family lacks."""
+    terrain_tiles — the hydrology entry point the gdaldem family lacks.
+    ``keep_px=True`` carries the elevation band through (for consumers
+    that derive per-cell weights, e.g. weighted flow accumulation)."""
     from ..functions.focal_kernels import flow_dir
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -240,6 +242,8 @@ def flow_dir_tiles(tiles: DataFrame) -> DataFrame:
                 "y0": pdf["y0"], "crs": pdf["crs"], "caption": pdf["caption"],
                 "psnr": pdf["psnr"], "flow_dir": [None] * len(pdf),
             }
+            if keep_px:
+                out["px"] = pdf["px"]
             for i in range(len(pdf)):
                 th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
                 grid = np.asarray(pdf["px"].iat[i], dtype=np.float32).reshape(th, w)
@@ -254,7 +258,8 @@ def flow_dir_tiles(tiles: DataFrame) -> DataFrame:
 
     cols = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
             "y0", "crs", "caption", "psnr", "px", "halo_top", "halo_bot"]
-    return tiles.select(*cols).mapInPandas(gen, schema=FLOW_SCHEMA)
+    schema = FLOW_SCHEMA + (", px array<float>" if keep_px else "")
+    return tiles.select(*cols).mapInPandas(gen, schema=schema)
 
 
 ALL_PRODUCTS = PRODUCTS + TERRAIN_PRODUCTS + ("flow_dir",)

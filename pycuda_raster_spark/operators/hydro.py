@@ -77,11 +77,14 @@ def _targets(code: np.ndarray, valid: np.ndarray):
     return dr, dc
 
 
-def _band_sweep(dirs: np.ndarray, ext: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+def _band_sweep(
+    dirs: np.ndarray, ext: np.ndarray, wgt: np.ndarray | None = None,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Level sweep of one band: returns (acc, has_exit, exit flat index
     targets) where ``acc[u]`` = ext seeded + in-band strictly-upstream
-    count. ``dirs`` is the band's code grid; ``ext`` the external inflow
-    per cell (int64, zeros in pass 1)."""
+    WEIGHT sum (``wgt`` int64 per cell; None = 1 per cell, the plain
+    cell-count accumulation). ``dirs`` is the band's code grid; ``ext``
+    the external inflow per cell (int64, zeros in pass 1)."""
     th, w = dirs.shape
     valid = dirs != NODATA
     code = np.where(valid, dirs, 0.0).astype(np.int64)
@@ -98,6 +101,8 @@ def _band_sweep(dirs: np.ndarray, ext: np.ndarray) -> tuple[np.ndarray, np.ndarr
     dst = (tr.ravel()[src] * w + tc.ravel()[src])
     indeg = np.zeros(th * w, dtype=np.int64)
     np.add.at(indeg, dst, 1)
+    wv = (np.ones(th * w, dtype=np.int64) if wgt is None
+          else np.asarray(wgt, dtype=np.int64).ravel())
     acc = ext.astype(np.int64).ravel().copy()
     # Kahn by levels: process every zero-indegree node at once
     ready = np.flatnonzero((indeg == 0) & valid.ravel())
@@ -118,7 +123,7 @@ def _band_sweep(dirs: np.ndarray, ext: np.ndarray) -> tuple[np.ndarray, np.ndarr
         e_src = frontier[hit]
         e_idx = idx[hit]
         e_dst = dst_sorted[e_idx]
-        np.add.at(acc, e_dst, acc[e_src] + 1)
+        np.add.at(acc, e_dst, acc[e_src] + wv[e_src])
         np.subtract.at(indeg, e_dst, 1)
         frontier = e_dst[indeg[e_dst] == 0]
         frontier = np.unique(frontier)
@@ -164,24 +169,53 @@ def _roots(dirs: np.ndarray):
             ex_c.reshape(th, w), root.reshape(th, w))
 
 
-def flow_accum_tiles(
-    dir_tiles: DataFrame,
-    dir_col: str = "flow_dir",
-    nodata: float = NODATA,
-    pinned: bool = True,
-    max_rounds: int | None = None,
-) -> DataFrame:
-    """D8 flow accumulation over ``dir_tiles`` (the output shape of
-    ``flow_dir_tiles``): tiles-shaped result with per-cell strictly-
-    upstream counts in ``flow_accum`` (float32; NODATA where the dir is
-    NODATA)."""
-    spark = dir_tiles.sparkSession
-    keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
-            "x0", "y0", "crs", dir_col]
-    tiles = dir_tiles.select(*keep).withColumnRenamed(dir_col, "__dir")
-    if pinned:
-        tiles = tiles.localCheckpoint(eager=True)
+_GEO = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+        "x0", "y0", "crs"]
 
+
+def _band_lists(tiles: DataFrame, slim: DataFrame, struct_cols: list[str],
+                out_col: str) -> DataFrame:
+    """Left-join the slim per-cell rows (keyed image_id, r, c) onto
+    ``tiles`` as one collected ``array<struct>`` column per band (the
+    broadcast per-band delivery pattern shared by every hydro pass)."""
+    geo = tiles.select("image_id", "tile_y", "ty0", "th").dropDuplicates(
+        ["image_id", "tile_y"])
+    rows = (slim.join(
+        F.broadcast(geo),
+        (slim["image_id"] == geo["image_id"])
+        & (slim["r"] >= geo["ty0"])
+        & (slim["r"] < geo["ty0"] + geo["th"]))
+        .select(slim["image_id"], "tile_y", *struct_cols))
+    per_band = (rows.groupBy("image_id", "tile_y")
+                .agg(F.collect_list(F.struct(*struct_cols))
+                     .alias(out_col)))
+    return tiles.join(F.broadcast(per_band), ["image_id", "tile_y"], "left")
+
+
+def _accum_generic(
+    tiles: DataFrame,
+    out_col: str,
+    wgt_of=None,
+    include_self: bool = False,
+    carry: tuple[str, ...] = (),
+    max_rounds: int | None = None,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """The two-pass tiled accumulation engine shared by flow_accum /
+    shreve / strahler: per-cell sum of int64 WEIGHTS over all strictly-
+    upstream cells (weakly upstream with ``include_self``).
+
+    ``tiles``: pinned DF carrying ``__dir`` plus whatever extra columns
+    ``wgt_of`` reads. ``wgt_of(pdf, i, dirs) -> int64 grid`` supplies the
+    per-cell weights (None = ones — plain cell counting). ``carry``
+    columns are passed through pass 2 unchanged (so callers avoid a
+    payload re-join). Output: geometry + carry + ``out_col`` float32
+    (NODATA at dir-NODATA cells).
+
+    Correctness of the port shortcut for ANY weights: accumulation is
+    additive along the unique in-band path, and weights attach to SOURCE
+    cells only, so an external inflow amount forwards through a band
+    unchanged — the pass-1 port map stays valid unmodified."""
     nd = float(nodata)
 
     # ---- pass 1: band partials + exits + port maps ---------------------
@@ -205,11 +239,15 @@ def flow_accum_tiles(
                 iid = pdf["image_id"].iat[i]
                 dirs = np.asarray(
                     pdf["__dir"].iat[i], dtype=np.float32).reshape(th, w)
+                wgt = None if wgt_of is None else wgt_of(pdf, i, dirs)
                 acc, exits, (tr, tc) = _band_sweep(
-                    dirs, np.zeros((th, w), dtype=np.int64))
+                    dirs, np.zeros((th, w), dtype=np.int64), wgt)
+                wv = (np.ones((th, w), dtype=np.int64) if wgt is None
+                      else np.asarray(wgt, dtype=np.int64))
                 for r, c in zip(*np.nonzero(exits)):
-                    emit(iid, 0, ty0 + tr[r, c], tc[r, c], 0, 0,
-                         acc[r, c] + 1)
+                    amt = acc[r, c] + wv[r, c]
+                    if amt > 0:
+                        emit(iid, 0, ty0 + tr[r, c], tc[r, c], 0, 0, amt)
                 # port map only needed for edge-row cells (the only
                 # possible external entry points)
                 reaches, ex_r, ex_c = _port_map(dirs)
@@ -257,30 +295,21 @@ def flow_accum_tiles(
                  .agg(F.sum("amt").alias("amt")))
 
     # ---- pass 2: seed the sweep with resolved external inflows ---------
-    geo = tiles.select("image_id", "tile_y", "ty0", "th").dropDuplicates(
-        ["image_id", "tile_y"])
-    entries = (total.join(
-        F.broadcast(geo),
-        (total["image_id"] == geo["image_id"])
-        & (total["r"] >= geo["ty0"])
-        & (total["r"] < geo["ty0"] + geo["th"]))
-        .select(total["image_id"], "tile_y", "r", "c", "amt"))
-    per_band = (entries.groupBy("image_id", "tile_y")
-                .agg(F.collect_list(F.struct("r", "c", "amt"))
-                     .alias("__inflows")))
+    seeded = _band_lists(tiles, total, ["r", "c", "amt"], "__inflows")
 
-    seeded = tiles.join(F.broadcast(per_band), ["image_id", "tile_y"],
-                        "left")
+    types = {f.name: f.dataType.simpleString() for f in tiles.schema.fields}
+    carry_ddl = "".join(f", {c} {types[c]}" for c in carry)
+    p2_schema = (
+        "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+        "cellsize double, x0 double, y0 double, crs string"
+        f"{carry_ddl}, {out_col} array<float>")
 
     def p2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {
-                "image_id": pdf["image_id"], "tile_y": pdf["tile_y"],
-                "ty0": pdf["ty0"], "th": pdf["th"], "w": pdf["w"],
-                "h": pdf["h"], "cellsize": pdf["cellsize"],
-                "x0": pdf["x0"], "y0": pdf["y0"], "crs": pdf["crs"],
-                "flow_accum": [None] * len(pdf),
-            }
+            out = {c: pdf[c] for c in _GEO}
+            for c in carry:
+                out[c] = pdf[c]
+            out[out_col] = [None] * len(pdf)
             for i in range(len(pdf)):
                 th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
                 ty0 = int(pdf["ty0"].iat[i])
@@ -295,24 +324,337 @@ def flow_accum_tiles(
                         c = int(s["c"])
                         if 0 <= lr < th and dirs[lr, c] != nd:
                             ext[lr, c] = int(s["amt"])
-                acc, _, _ = _band_sweep(dirs, ext)
+                wgt = None if wgt_of is None else wgt_of(pdf, i, dirs)
+                acc, _, _ = _band_sweep(dirs, ext, wgt)
+                if include_self:
+                    acc = acc + (np.ones((th, w), dtype=np.int64)
+                                 if wgt is None
+                                 else np.asarray(wgt, dtype=np.int64))
                 px = acc.astype(np.float32)
                 px[dirs == nd] = np.float32(nd)
-                out["flow_accum"][i] = px.ravel()
+                out[out_col][i] = px.ravel()
             yield pd.DataFrame(out)
 
-    return seeded.mapInPandas(p2, schema=ACCUM_SCHEMA)
+    return seeded.mapInPandas(p2, schema=p2_schema)
 
 
-def flow_accum_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
+def flow_accum_tiles(
+    dir_tiles: DataFrame,
+    dir_col: str = "flow_dir",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+    weight_col: str | None = None,
+    include_self: bool = False,
+) -> DataFrame:
+    """D8 flow accumulation over ``dir_tiles`` (the output shape of
+    ``flow_dir_tiles``): tiles-shaped result with per-cell strictly-
+    upstream counts in ``flow_accum`` (float32; NODATA where the dir is
+    NODATA).
+
+    ``weight_col`` (GRASS ``r.watershed flow=`` parity) names an
+    ``array<bigint>`` column aligned with the dir grid: the result is
+    then the strictly-upstream WEIGHT sum instead of the cell count
+    (``include_self=True`` adds the cell's own weight — weak upstream)."""
+    keep = [*_GEO, dir_col] + ([weight_col] if weight_col else [])
+    tiles = dir_tiles.select(*keep).withColumnRenamed(dir_col, "__dir")
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+
+    wgt_of = None
+    if weight_col is not None:
+        def wgt_of(pdf, i, dirs):
+            return np.asarray(pdf[weight_col].iat[i],
+                              dtype=np.int64).reshape(dirs.shape)
+
+    return _accum_generic(tiles, "flow_accum", wgt_of=wgt_of,
+                          include_self=include_self,
+                          max_rounds=max_rounds, nodata=nodata)
+
+
+def flow_accum_grid(
+    dirs: np.ndarray, nodata: float = NODATA,
+    wgt: np.ndarray | None = None, include_self: bool = False,
+) -> np.ndarray:
     """Whole-grid NumPy twin — identical semantics to the tiled operator
     (tests assert exact equality across tilings)."""
-    acc, _, _ = _band_sweep(np.asarray(dirs, dtype=np.float32),
-                            np.zeros(dirs.shape, dtype=np.int64))
+    d = np.asarray(dirs, dtype=np.float32)
+    acc, _, _ = _band_sweep(d, np.zeros(d.shape, dtype=np.int64), wgt)
+    if include_self:
+        acc = acc + (np.ones(d.shape, dtype=np.int64) if wgt is None
+                     else np.asarray(wgt, dtype=np.int64))
     out = acc.astype(np.float32)
-    out[np.asarray(dirs, dtype=np.float32) == float(nodata)] = np.float32(
-        nodata)
+    out[d == float(nodata)] = np.float32(nodata)
     return out
+
+
+# --------------------------------------------------------------------------
+# Stream topology on the D8 graph: Shreve magnitude + Strahler order
+# (GRASS r.stream.order / ArcGIS Stream Order parity, applied to every
+# dir-valid cell rather than a pre-thresholded stream network — threshold
+# downstream with flow_accum if channel-only output is wanted).
+# --------------------------------------------------------------------------
+
+_EXT_SCHEMA = "image_id string, r long, c long, n long"
+
+
+def _exit_edges(dirs: np.ndarray):
+    """Band-exit edges of one band: arrays (src_row, src_col, tgt_row_rel,
+    tgt_col). Targets land in adjacent bands; the one-ring image NODATA
+    policy guarantees tgt_col stays inside [0, w)."""
+    th, w = dirs.shape
+    valid = dirs != NODATA
+    code = np.where(valid, dirs, 0.0).astype(np.int64)
+    dr, dc = _targets(code, valid)
+    out = code > 0
+    tr = np.arange(th)[:, None] + dr
+    is_exit = out & ((tr < 0) | (tr >= th))
+    rr, cc = np.nonzero(is_exit)
+    return rr, cc, rr + dr[rr, cc], cc + dc[rr, cc]
+
+
+def _inband_pred_count(dirs: np.ndarray,
+                       src_mask: np.ndarray | None = None) -> np.ndarray:
+    """Per-cell count of in-band dir-valid inflow edges (optionally only
+    edges whose SOURCE is in ``src_mask``)."""
+    th, w = dirs.shape
+    valid = dirs != NODATA
+    code = np.where(valid, dirs, 0.0).astype(np.int64)
+    dr, dc = _targets(code, valid)
+    out = code > 0
+    tr = np.where(out, np.arange(th)[:, None] + dr, 0)
+    tc = np.where(out, np.arange(w)[None, :] + dc, 0)
+    internal = out & (tr >= 0) & (tr < th)
+    internal &= valid[np.clip(tr, 0, th - 1), np.clip(tc, 0, w - 1)]
+    if src_mask is not None:
+        internal &= np.asarray(src_mask, dtype=bool)
+    cnt = np.zeros(th * w, dtype=np.int64)
+    src = np.flatnonzero(internal)
+    np.add.at(cnt, tr.ravel()[src] * w + tc.ravel()[src], 1)
+    return cnt.reshape(th, w)
+
+
+def _ext_targets(tiles: DataFrame, mask_col: str | None = None) -> DataFrame:
+    """Slim (image_id, r, c, n) rows: per cell, how many band-exit edges
+    (from ``mask_col``-marked sources only, when given) flow INTO it from
+    the adjacent band. The cross-band half of any in-degree count."""
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {"image_id": [], "r": [], "c": [], "n": []}
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0 = int(pdf["ty0"].iat[i])
+                dirs = np.asarray(
+                    pdf["__dir"].iat[i], dtype=np.float32).reshape(th, w)
+                rr, cc, tr, tc = _exit_edges(dirs)
+                if mask_col is not None:
+                    m = np.asarray(pdf[mask_col].iat[i],
+                                   dtype=np.int64).reshape(th, w)
+                    keep = m[rr, cc] > 0
+                    rr, cc, tr, tc = rr[keep], cc[keep], tr[keep], tc[keep]
+                for j in range(rr.size):
+                    rows["image_id"].append(pdf["image_id"].iat[i])
+                    rows["r"].append(int(ty0 + tr[j]))
+                    rows["c"].append(int(tc[j]))
+                    rows["n"].append(1)
+            yield pd.DataFrame(rows)
+
+    slim = tiles.mapInPandas(gen, schema=_EXT_SCHEMA)
+    return slim.groupBy("image_id", "r", "c").agg(F.sum("n").alias("n"))
+
+
+def _extin_grid(pdf: pd.DataFrame, i: int, th: int, w: int,
+                col: str = "__extin") -> np.ndarray:
+    """Materialize a band's collected __extin list as an int64 grid."""
+    ty0 = int(pdf["ty0"].iat[i])
+    g = np.zeros((th, w), dtype=np.int64)
+    lst = pdf[col].iat[i]
+    if lst is not None and not (isinstance(lst, float) and pd.isna(lst)):
+        for s in lst:
+            lr = int(s["r"]) - ty0
+            if 0 <= lr < th:
+                g[lr, int(s["c"])] += int(s["n"])
+    return g
+
+
+def shreve_tiles(
+    dir_tiles: DataFrame,
+    dir_col: str = "flow_dir",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Shreve stream magnitude: for every dir-valid cell, the number of
+    weakly-upstream HEADWATER cells (headwater = dir-valid cell with zero
+    dir-valid inflows, cross-band inflows included; a headwater's own
+    magnitude is 1). Magnitudes are additive at confluences — exactly the
+    weighted accumulation with a headwater-indicator weight, so the
+    two-pass machinery applies unchanged: one slim cross-band in-degree
+    pre-pass resolves each edge cell's headwater status, then
+    ``_accum_generic`` runs with that indicator."""
+    tiles = dir_tiles.select(*_GEO, dir_col).withColumnRenamed(
+        dir_col, "__dir")
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+    nd = float(nodata)
+
+    ext = _ext_targets(tiles)
+    tiles2 = _band_lists(tiles, ext, ["r", "c", "n"], "__extin"
+                         ).localCheckpoint(eager=True)
+
+    def wgt_of(pdf, i, dirs):
+        th, w = dirs.shape
+        valid = dirs != np.float32(nd)
+        extn = _extin_grid(pdf, i, th, w)
+        hw = valid & (extn == 0) & (_inband_pred_count(dirs) == 0)
+        return hw.astype(np.int64)
+
+    return _accum_generic(tiles2, "shreve", wgt_of=wgt_of,
+                          include_self=True, max_rounds=max_rounds,
+                          nodata=nodata)
+
+
+def shreve_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
+    """Whole-grid NumPy twin of ``shreve_tiles``."""
+    d = np.asarray(dirs, dtype=np.float32)
+    valid = d != float(nodata)
+    hw = (valid & (_inband_pred_count(d) == 0)).astype(np.int64)
+    return flow_accum_grid(d, nodata, wgt=hw, include_self=True)
+
+
+def strahler_tiles(
+    dir_tiles: DataFrame,
+    dir_col: str = "flow_dir",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+    max_order: int = 64,
+) -> DataFrame:
+    """Strahler stream order for every dir-valid cell (GRASS
+    r.stream.order parity on the full D8 graph): headwaters are order 1;
+    at a confluence the order is the max inflow order, +1 when two or
+    more inflows achieve that max; order propagates downstream as max.
+
+    Strahler is NOT additive, so the port shortcut can't carry orders
+    directly. Instead the operator iterates LEVEL SETS — S_k = {cells
+    with order >= k} — using the identity::
+
+        S_{k+1} = downstream-closure({v : >= 2 inflows of v are in S_k})
+
+    (a cell reaches order k+1 exactly when some weakly-upstream junction
+    merges two order->=k streams). Each closure IS an additive reach
+    query: weighted accumulation with the junction indicator as weight,
+    so every level reuses the proven two-pass machinery. Levels run
+    max(order) times — bounded by log of basin size in practice (a
+    Strahler order above ~12 does not occur on Earth-scale DEMs), each
+    level touching pixels in exactly three Python passes with only slim
+    band-edge tables shuffling. Output: ``strahler array<bigint>``
+    (-1 at dir-NODATA cells)."""
+    tiles = dir_tiles.select(*_GEO, dir_col).withColumnRenamed(
+        dir_col, "__dir")
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+    nd = float(nodata)
+    ndlit = F.lit(nd).cast("float")
+    one = F.lit(1).cast("long")
+    zero = F.lit(0).cast("long")
+
+    cur = (tiles
+           .withColumn("__mask", F.transform(
+               "__dir", lambda v: F.when(v != ndlit, one).otherwise(zero)))
+           .withColumn("__order", F.transform(
+               "__dir", lambda v: F.when(v != ndlit, one)
+               .otherwise(F.lit(-1).cast("long"))))
+           .localCheckpoint(eager=True))
+
+    for _level in range(max_order):
+        ext = _ext_targets(cur, mask_col="__mask")
+        cur2 = _band_lists(cur, ext, ["r", "c", "n"], "__extin"
+                           ).localCheckpoint(eager=True)
+
+        def wgt_of(pdf, i, dirs):
+            th, w = dirs.shape
+            valid = dirs != np.float32(nd)
+            m = np.asarray(pdf["__mask"].iat[i],
+                           dtype=np.int64).reshape(th, w)
+            cnt = _inband_pred_count(dirs, src_mask=m > 0)
+            cnt += _extin_grid(pdf, i, th, w)
+            return ((cnt >= 2) & valid).astype(np.int64)
+
+        clo = _accum_generic(cur2, "__clo", wgt_of=wgt_of,
+                             include_self=True,
+                             carry=("__dir", "__order"),
+                             max_rounds=max_rounds, nodata=nodata)
+        nxt = (clo
+               .withColumn("__mask", F.transform(
+                   "__clo", lambda v: F.when(v >= F.lit(1.0), one)
+                   .otherwise(zero)))
+               .withColumn("__order", F.zip_with(
+                   "__order", "__mask", lambda o, m: o + m))
+               .drop("__clo")
+               .localCheckpoint(eager=True))
+        alive = nxt.select(F.sum(F.aggregate(
+            "__mask", F.lit(0).cast("long"), lambda a, b: a + b))
+            .alias("s")).first()["s"]
+        cur = nxt
+        if not alive:
+            break
+    else:
+        raise RuntimeError(
+            f"strahler level iteration exceeded max_order={max_order}")
+
+    return cur.select(*_GEO, F.col("__order").alias("strahler"))
+
+
+def strahler_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
+    """Whole-grid twin of ``strahler_tiles`` — and an INDEPENDENT
+    formulation: the classic per-confluence rule applied in topological
+    (Kahn) order, not the level-set closure. Tests asserting tiled ==
+    twin therefore also pin the level-set identity itself."""
+    d = np.asarray(dirs, dtype=np.float32)
+    th, w = d.shape
+    valid = d != float(nodata)
+    code = np.where(valid, d, 0.0).astype(np.int64)
+    dr, dc = _targets(code, valid)
+    out = code > 0
+    tr = np.where(out, np.arange(th)[:, None] + dr, 0)
+    tc = np.where(out, np.arange(w)[None, :] + dc, 0)
+    internal = out & (tr >= 0) & (tr < th)
+    internal &= valid[np.clip(tr, 0, th - 1), np.clip(tc, 0, w - 1)]
+
+    n = th * w
+    succ = np.full(n, -1, dtype=np.int64)
+    flat_t = tr.ravel() * w + tc.ravel()
+    succ[internal.ravel()] = flat_t[internal.ravel()]
+    indeg = np.zeros(n, dtype=np.int64)
+    np.add.at(indeg, succ[succ >= 0], 1)
+
+    order = np.zeros(n, dtype=np.int64)
+    best = np.zeros(n, dtype=np.int64)      # max inflow order seen
+    nbest = np.zeros(n, dtype=np.int64)     # how many inflows achieve it
+    from collections import deque
+    q = deque(int(u) for u in np.flatnonzero(valid.ravel() & (indeg == 0)))
+    left = indeg.copy()
+    while q:
+        u = q.popleft()
+        if best[u] == 0:
+            order[u] = 1                     # headwater
+        else:
+            order[u] = best[u] + (1 if nbest[u] >= 2 else 0)
+        v = succ[u]
+        if v >= 0:
+            if order[u] > best[v]:
+                best[v] = order[u]
+                nbest[v] = 1
+            elif order[u] == best[v]:
+                nbest[v] += 1
+            left[v] -= 1
+            if left[v] == 0:
+                q.append(int(v))
+    lab = order.reshape(th, w)
+    res = lab.copy()
+    res[~valid] = -1
+    return res
 
 
 BASIN_SCHEMA = (

@@ -1,0 +1,294 @@
+"""Weighted flow accumulation + Shreve magnitude + Strahler order.
+
+Twins are pinned against independent brute-force formulations (path
+walking for weighted accumulation and Shreve; the classic per-confluence
+Kahn rule for Strahler — the tiled operator uses the level-set identity,
+so tiled == twin also proves the identity). Tiled operators must equal
+the twins EXACTLY across tile heights — all-integer outputs.
+"""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from pycuda_raster_spark.fixtures import FMT_CYCLE, IMAGES_DDL, CorpusSpec, build_images, grid_for
+from pycuda_raster_spark.functions import codecs
+from pycuda_raster_spark.functions.focal_kernels import flow_dir
+from pycuda_raster_spark.operators.decode import decode_tiles
+from pycuda_raster_spark.operators.focal import flow_dir_tiles
+from pycuda_raster_spark.operators.hydro import (
+    D8_DC,
+    D8_DR,
+    NODATA,
+    flow_accum_grid,
+    flow_accum_tiles,
+    shreve_grid,
+    shreve_tiles,
+    strahler_grid,
+    strahler_tiles,
+)
+
+SPEC = CorpusSpec(n_images=4, w=32, h=32, nodata_every=3)
+
+
+@pytest.fixture(scope="module")
+def images_df(spark):
+    return spark.createDataFrame(build_images(SPEC)).cache()
+
+
+def _decoded(i: int) -> np.ndarray:
+    src = i
+    if SPEC.dup_every and i % SPEC.dup_every == SPEC.dup_every - 1 and i >= SPEC.dup_every:
+        src = i - SPEC.dup_every
+    fmt = FMT_CYCLE[src % len(FMT_CYCLE)]
+    g = grid_for(i, SPEC)
+    return codecs.decode(codecs.encode(g, fmt), fmt, SPEC.w, SPEC.h)
+
+
+def _edges(dirs):
+    """(succ flat map, valid mask) of the global D8 graph."""
+    th, w = dirs.shape
+    valid = dirs != np.float32(NODATA)
+    code = np.where(valid, dirs, 0.0).astype(np.int64)
+    succ = {}
+    for r in range(th):
+        for c in range(w):
+            k = code[r, c]
+            if not valid[r, c] or k == 0:
+                continue
+            nr, nc = r + D8_DR[k], c + D8_DC[k]
+            if 0 <= nr < th and 0 <= nc < w and valid[nr, nc]:
+                succ[(r, c)] = (nr, nc)
+    return succ, valid
+
+
+def brute_weighted_accum(dirs, wgt):
+    """Walk every cell's path, adding its WEIGHT to each strictly-
+    downstream cell."""
+    th, w = dirs.shape
+    succ, valid = _edges(dirs)
+    acc = np.zeros((th, w), dtype=np.int64)
+    for r in range(th):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            cur = (r, c)
+            for _ in range(th * w + 1):
+                cur = succ.get(cur)
+                if cur is None:
+                    break
+                acc[cur] += wgt[r, c]
+            else:
+                raise AssertionError("cycle")
+    out = acc.astype(np.float32)
+    out[~valid] = np.float32(NODATA)
+    return out
+
+
+def brute_shreve(dirs):
+    """Magnitude = weakly-upstream headwater count; headwaters from a
+    brute in-degree scan."""
+    th, w = dirs.shape
+    succ, valid = _edges(dirs)
+    indeg = np.zeros((th, w), dtype=np.int64)
+    for _, v in succ.items():
+        indeg[v] += 1
+    mag = np.zeros((th, w), dtype=np.int64)
+    for r in range(th):
+        for c in range(w):
+            if not valid[r, c] or indeg[r, c] != 0:
+                continue
+            mag[r, c] += 1
+            cur = (r, c)
+            for _ in range(th * w + 1):
+                cur = succ.get(cur)
+                if cur is None:
+                    break
+                mag[cur] += 1
+            else:
+                raise AssertionError("cycle")
+    out = mag.astype(np.float32)
+    out[~valid] = np.float32(NODATA)
+    return out
+
+
+def _wgt_for(g):
+    """The contract-query weight rule: floor(val/16) % 5 + 1 (exact
+    integers in both engines)."""
+    return (np.floor(g.astype(np.float64) / 16.0).astype(np.int64) % 5) + 1
+
+
+# ---------------------------------------------------------------- twins
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_weighted_twin_matches_brute(seed):
+    rng = np.random.default_rng(seed)
+    g = (rng.random((20, 17)) * 50).astype(np.float32)
+    if seed == 1:
+        g[6:9, 4:7] = np.float32(NODATA)
+    dirs = flow_dir(g)
+    wgt = _wgt_for(np.where(g == np.float32(NODATA), 0, g))
+    got = flow_accum_grid(dirs, wgt=wgt)
+    np.testing.assert_array_equal(got, brute_weighted_accum(dirs, wgt))
+    # ones-weight == plain counting
+    np.testing.assert_array_equal(
+        flow_accum_grid(dirs, wgt=np.ones_like(wgt)), flow_accum_grid(dirs))
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_shreve_twin_matches_brute(seed):
+    rng = np.random.default_rng(seed)
+    g = (rng.random((20, 17)) * 50).astype(np.float32)
+    if seed == 1:
+        g[6:9, 4:7] = np.float32(NODATA)
+    dirs = flow_dir(g)
+    np.testing.assert_array_equal(shreve_grid(dirs), brute_shreve(dirs))
+
+
+def test_strahler_hand_example():
+    """A hand-built D8 code grid (unambiguous topology): two order-1
+    streams merge at a junction -> order 2; a later order-1 tributary
+    joins the order-2 trunk and the trunk STAYS order 2."""
+    nd = np.float32(NODATA)
+    dirs = np.full((5, 7), nd, dtype=np.float32)
+    # chain A: (1,0) -E-> (1,1) -E-> (1,2) -SE-> junction (2,3)
+    dirs[1, 0] = dirs[1, 1] = 1.0
+    dirs[1, 2] = 128.0            # dr=+1, dc=+1
+    # chain B: (3,0) -E-> (3,1) -E-> (3,2) -NE-> junction (2,3)
+    dirs[3, 0] = dirs[3, 1] = 1.0
+    dirs[3, 2] = 2.0              # dr=-1, dc=+1
+    # trunk: (2,3) -E-> (2,4) -E-> (2,5) -E-> (2,6) pit
+    dirs[2, 3] = dirs[2, 4] = dirs[2, 5] = 1.0
+    dirs[2, 6] = 0.0
+    # tributary: (0,5) -S-> (1,5) -SE-> (2,6)
+    dirs[0, 5] = 64.0             # dr=+1, dc=0
+    dirs[1, 5] = 128.0
+    ordr = strahler_grid(dirs)
+    assert ordr[1, 0] == 1 and ordr[3, 0] == 1 and ordr[0, 5] == 1
+    assert ordr[1, 2] == 1 and ordr[3, 2] == 1 and ordr[1, 5] == 1
+    assert ordr[2, 3] == 2 and ordr[2, 5] == 2    # junction bumps to 2
+    assert ordr[2, 6] == 2                        # 2 vs 1 inflow: stays 2
+    assert ordr[ordr >= 0].max() == 2
+    assert (ordr[dirs == nd] == -1).all()
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_strahler_shreve_inequality(seed):
+    """2^(strahler-1) <= shreve everywhere (classic identity) and both
+    are 1 exactly on the same headwater-only cells."""
+    rng = np.random.default_rng(seed)
+    g = (rng.random((24, 19)) * 80).astype(np.float32)
+    if seed == 2:
+        g[10:13, 5:9] = np.float32(NODATA)
+    dirs = flow_dir(g)
+    st = strahler_grid(dirs)
+    sh = shreve_grid(dirs)
+    valid = st >= 0
+    assert (st[valid] >= 1).all()
+    assert ((2.0 ** (st[valid] - 1)) <= sh[valid]).all()
+
+
+def _collect(out_df, col, dtype):
+    rows = out_df.select("image_id", "ty0", "th", "w", "h", col).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r.image_id, []).append(r)
+    grids = {}
+    for iid, tiles in per.items():
+        tiles.sort(key=lambda r: r.ty0)
+        assert sum(t.th for t in tiles) == tiles[0].h
+        grids[iid] = np.vstack(
+            [np.asarray(r[col], dtype=dtype).reshape(r.th, r.w)
+             for r in tiles])
+    return grids
+
+
+# ---------------------------------------------------------------- tiled
+
+
+def _weight_col(df):
+    """JVM-side weight build (the same rule both engines compute
+    exactly): floor(px/16) % 5 + 1 as array<bigint>."""
+    def one(v):
+        return (F.floor(v.cast("double") / F.lit(16.0)).cast("long")
+                % F.lit(5).cast("long") + F.lit(1).cast("long"))
+    return df.withColumn("wgt", F.transform("px", one))
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_weighted_tiled_matches_twin(spark, images_df, tile_rows):
+    dirs_df = _weight_col(flow_dir_tiles(
+        decode_tiles(images_df, tile_rows=tile_rows), keep_px=True))
+    got = _collect(flow_accum_tiles(dirs_df, weight_col="wgt"),
+                   "flow_accum", np.float32)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        g = _decoded(i)
+        dirs = flow_dir(g)
+        wgt = _wgt_for(np.where(g == np.float32(NODATA), 0, g))
+        want = flow_accum_grid(dirs, wgt=wgt)
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_shreve_tiled_matches_twin(spark, images_df, tile_rows):
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tile_rows))
+    got = _collect(shreve_tiles(dirs_df), "shreve", np.float32)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = shreve_grid(flow_dir(_decoded(i)))
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_strahler_tiled_matches_twin(spark, images_df, tile_rows):
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tile_rows))
+    got = _collect(strahler_tiles(dirs_df), "strahler", np.int64)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = strahler_grid(flow_dir(_decoded(i)))
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+
+
+def _serpentine_elevation(h, w):
+    from tests.test_hydro import _serpentine_elevation as mk
+    return mk(h, w)
+
+
+def test_streams_serpentine_reentry(spark):
+    """The band-re-entry stress case at tile_rows=2 for all three new
+    operators (the valley path crosses every band boundary repeatedly)."""
+    g = _serpentine_elevation(16, 9)
+    df = spark.createDataFrame(
+        [("serp", bytearray(g.astype("<f4").tobytes()), 9, 16, "raw",
+          "serp", 0)], schema=IMAGES_DDL)
+    dirs_np = flow_dir(g)
+    dirs_df = flow_dir_tiles(decode_tiles(df, tile_rows=2), keep_px=True)
+    wdf = _weight_col(dirs_df)
+
+    got_w = _collect(flow_accum_tiles(wdf, weight_col="wgt"),
+                     "flow_accum", np.float32)["serp"]
+    wgt = _wgt_for(np.where(g == np.float32(NODATA), 0, g))
+    np.testing.assert_array_equal(got_w, flow_accum_grid(dirs_np, wgt=wgt))
+
+    got_sh = _collect(shreve_tiles(dirs_df), "shreve", np.float32)["serp"]
+    np.testing.assert_array_equal(got_sh, shreve_grid(dirs_np))
+
+    got_st = _collect(strahler_tiles(dirs_df), "strahler",
+                      np.int64)["serp"]
+    np.testing.assert_array_equal(got_st, strahler_grid(dirs_np))
+
+
+def test_shreve_plan_shape(spark, images_df):
+    """Final plan: exactly one MapInPandas (the seeded pass 2) — the
+    in-degree pre-pass and pass 1 ran at build time against the pinned
+    tiles; the coarse routing never touches pixel payloads."""
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=8))
+    out = shreve_tiles(dirs_df)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan
+    assert plan.count("MapInPandas") == 1, plan
