@@ -1141,6 +1141,80 @@ def _r_basins(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _flow_pos_cols(out, col: str, alias: str, w: int = 32):
+    """Shared (image_id, r, c, value) projection for the hydrology
+    tiles-shaped outputs (posexplode + row/col decode)."""
+    return out.select(
+        "image_id", "ty0", F.posexplode(col).alias("pos", "v")
+    ).select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.lit(w))) / w)
+         ).cast("int").alias("r"),
+        F.pmod("pos", F.lit(w)).cast("int").alias("c"),
+        F.col("v").alias(alias),
+    )
+
+
+def _r_flow_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted D8 flow accumulation (GRASS r.watershed flow= parity):
+    per-cell strictly-upstream WEIGHT sum where the weight rule —
+    floor(val/16) % 5 + 1 — is exact integers in both engines. Same
+    integer graph as r_flow_accum, so the DuckDB oracle joins the
+    recursive upstream closure to the per-cell weights and SUMs."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import flow_accum_tiles
+
+    images, _, _ = _corpus(spark)
+    dirs = flow_dir_tiles(decode_tiles(images, tile_rows=8), keep_px=True)
+    dirs = dirs.withColumn("wgt", F.transform(
+        "px", lambda v: (F.floor(v.cast("double") / F.lit(16.0))
+                         .cast("long") % F.lit(5).cast("long")
+                         + F.lit(1).cast("long"))))
+    out = flow_accum_tiles(dirs, weight_col="wgt")
+    proj = _flow_pos_cols(out, "flow_accum", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").cast("long").alias("acc"))
+
+
+def _r_shreve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shreve stream magnitude: weakly-upstream headwater count per
+    dir-valid cell (headwater = dir-valid cell with zero dir-valid
+    inflows). Pure integers on the exact r_flow_accum graph — the
+    oracle derives headwaters from the edge set and counts them through
+    the recursive closure. Engine side: operators/hydro.shreve_tiles
+    (the two-pass machinery with a headwater-indicator weight)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import shreve_tiles
+
+    images, _, _ = _corpus(spark)
+    out = shreve_tiles(flow_dir_tiles(decode_tiles(images, tile_rows=8)))
+    proj = _flow_pos_cols(out, "shreve", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").cast("long").alias("mag"))
+
+
+def _r_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strahler stream order per dir-valid cell (GRASS r.stream.order
+    parity). The engine iterates level sets (operators/hydro.
+    strahler_tiles); the oracle unrolls the SAME level-set identity in
+    plain relational algebra over the one recursive closure — masks
+    m_{k+1} = downstream-closure(junctions with >= 2 inflows in m_k) —
+    so order = count of masks containing the cell. The unroll depth 10
+    is structurally safe: order k needs 2^(k-1) headwaters and a 32x32
+    image cannot host order 11. All integers."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import strahler_tiles
+
+    images, _, _ = _corpus(spark)
+    out = strahler_tiles(flow_dir_tiles(decode_tiles(images, tile_rows=8)))
+    proj = _flow_pos_cols(out, "strahler", "v")
+    return proj.filter(F.col("v") >= 0).select(
+        "image_id", "r", "c", F.col("v").cast("long").alias("sorder"))
+
+
 def _r_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity parity):
     per-cell squared cell distance to the nearest target (targets =
@@ -1876,6 +1950,157 @@ def _corpus_oracles() -> dict[str, str]:
                coalesce(n.acc, CAST(0 AS BIGINT)) AS acc
         FROM dirs d LEFT JOIN n
           ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+    """
+
+    # shared D8 graph chain (dirs/edges/e2/reach) for the stream-topology
+    # oracles — identical text to the r_flow_accum CTEs above, so all four
+    # hydrology oracles see ONE graph definition
+    _graph = f"""
+        dr AS (
+            SELECT image_id, r, c,
+                   (ee - f)          AS d_e,
+                   (ee - cc) * {is2} AS d_se,
+                   (ee - b)          AS d_s,
+                   (ee - a) * {is2}  AS d_sw,
+                   (ee - d)          AS d_w,
+                   (ee - g) * {is2}  AS d_nw,
+                   (ee - h)          AS d_n,
+                   (ee - i2) * {is2} AS d_ne
+            FROM win
+        ),
+        m AS (
+            SELECT *, greatest(d_e, d_se, d_s, d_sw,
+                               d_w, d_nw, d_n, d_ne) AS maxd
+            FROM dr
+        ),
+        dirs AS MATERIALIZED (
+            SELECT image_id, r, c, {_dir_case} AS code FROM m
+        ),
+        edges AS (
+            SELECT d.image_id, d.r, d.c,
+                   d.r + CASE WHEN d.code IN (2, 4, 8) THEN -1
+                              WHEN d.code IN (32, 64, 128) THEN 1
+                              ELSE 0 END AS tr,
+                   d.c + CASE WHEN d.code IN (1, 2, 128) THEN 1
+                              WHEN d.code IN (8, 16, 32) THEN -1
+                              ELSE 0 END AS tc
+            FROM dirs d WHERE d.code > 0
+        ),
+        e2 AS MATERIALIZED (
+            SELECT e.image_id, e.r, e.c, e.tr, e.tc
+            FROM edges e JOIN dirs t
+              ON t.image_id = e.image_id AND t.r = e.tr AND t.c = e.tc
+        ),
+        reach AS (
+            SELECT image_id, r AS ur, c AS uc, tr AS vr, tc AS vc FROM e2
+            UNION ALL
+            SELECT p.image_id, p.ur, p.uc, e.tr, e.tc
+            FROM reach p JOIN e2 e
+              ON e.image_id = p.image_id AND e.r = p.vr AND e.c = p.vc
+        )"""
+
+    # weighted accumulation: SUM the SOURCE-cell weights over the closure
+    # (weight = floor(val/16) % 5 + 1 — exact integers in both engines;
+    # SUM(BIGINT) is HUGEINT in DuckDB, hence the cast)
+    flow_weighted = f"""
+        WITH RECURSIVE {horn_win},
+        {_graph},
+        wgt AS (
+            SELECT image_id, r, c,
+                   CAST(floor(CAST(val AS DOUBLE) / CAST(16 AS DOUBLE))
+                        AS BIGINT) % 5 + 1 AS wv
+            FROM {pixels}
+        ),
+        n AS (
+            SELECT rr.image_id, rr.vr AS r, rr.vc AS c,
+                   CAST(SUM(w.wv) AS BIGINT) AS acc
+            FROM reach rr JOIN wgt w
+              ON w.image_id = rr.image_id AND w.r = rr.ur AND w.c = rr.uc
+            GROUP BY rr.image_id, rr.vr, rr.vc
+        )
+        SELECT d.image_id, d.r, d.c,
+               coalesce(n.acc, CAST(0 AS BIGINT)) AS acc
+        FROM dirs d LEFT JOIN n
+          ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+    """
+
+    # Shreve magnitude: headwaters = dir-valid cells with zero dir-valid
+    # inflows; magnitude = weakly-upstream headwater count
+    shreve = f"""
+        WITH RECURSIVE {horn_win},
+        {_graph},
+        hw AS (
+            SELECT d.image_id, d.r, d.c
+            FROM dirs d LEFT JOIN e2 t
+              ON t.image_id = d.image_id AND t.tr = d.r AND t.tc = d.c
+            WHERE t.r IS NULL
+        ),
+        up AS (
+            SELECT rr.image_id, rr.vr AS r, rr.vc AS c,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM reach rr JOIN hw
+              ON hw.image_id = rr.image_id AND hw.r = rr.ur
+                 AND hw.c = rr.uc
+            GROUP BY rr.image_id, rr.vr, rr.vc
+        )
+        SELECT d.image_id, d.r, d.c,
+               CAST(coalesce(up.n, 0)
+                    + CASE WHEN h.r IS NOT NULL THEN 1 ELSE 0 END
+                    AS BIGINT) AS mag
+        FROM dirs d
+        LEFT JOIN up ON up.image_id = d.image_id AND up.r = d.r
+                        AND up.c = d.c
+        LEFT JOIN hw h ON h.image_id = d.image_id AND h.r = d.r
+                          AND h.c = d.c
+    """
+
+    # Strahler order via the level-set identity unrolled over the ONE
+    # recursive closure: m_{k+1} = junctions(>=2 inflows from m_k) union
+    # their downstream reach; order = # of masks containing the cell.
+    # Masks are nested, so the UNION-ALL count is the order. Depth 10 is
+    # structurally safe (order k needs 2^(k-1) headwaters; a 32x32 image
+    # cannot host order 11).
+    _mask_ctes = []
+    for k in range(1, 10):
+        src = "dirs" if k == 1 else f"m{k}"
+        _mask_ctes.append(f"""
+        j{k} AS (
+            SELECT e.image_id, e.tr AS r, e.tc AS c
+            FROM e2 e JOIN {src} s
+              ON s.image_id = e.image_id AND s.r = e.r AND s.c = e.c
+            GROUP BY e.image_id, e.tr, e.tc
+            HAVING count(*) >= 2
+        ),
+        m{k + 1} AS (
+            -- explicit DISTINCT: inside WITH RECURSIVE, DuckDB 1.0 does
+            -- NOT dedup a plain UNION in non-self-referencing CTEs
+            SELECT DISTINCT image_id, r, c FROM (
+                SELECT image_id, r, c FROM j{k}
+                UNION ALL
+                SELECT rr.image_id, rr.vr AS r, rr.vc AS c
+                FROM reachm rr JOIN j{k} j
+                  ON j.image_id = rr.image_id AND j.r = rr.ur
+                     AND j.c = rr.uc
+            )
+        )""")
+    _allm = " UNION ALL ".join(
+        f"SELECT image_id, r, c FROM m{k}" for k in range(2, 11))
+    strahler = f"""
+        WITH RECURSIVE {horn_win},
+        {_graph},
+        reachm AS MATERIALIZED (
+            SELECT image_id, ur, uc, vr, vc FROM reach
+        ),
+        {",".join(_mask_ctes)},
+        allm AS ({_allm}),
+        cnt AS (
+            SELECT image_id, r, c, CAST(count(*) AS BIGINT) AS extra
+            FROM allm GROUP BY image_id, r, c
+        )
+        SELECT d.image_id, d.r, d.c,
+               CAST(1 + coalesce(cnt.extra, 0) AS BIGINT) AS sorder
+        FROM dirs d LEFT JOIN cnt
+          ON cnt.image_id = d.image_id AND cnt.r = d.r AND cnt.c = d.c
     """
 
     # exact EDT (gdal_proximity): brute-force min squared distance over
@@ -3060,6 +3285,9 @@ def _corpus_oracles() -> dict[str, str]:
         "r_hillshade_md": hillshade_md,
         "r_flow_dir": flow,
         "r_flow_accum": flow_accum,
+        "r_flow_weighted": flow_weighted,
+        "r_shreve": shreve,
+        "r_strahler": strahler,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3244,6 +3472,11 @@ CONTRACT_ORDER = [
     "q_ivf_ann", "q05_region_revenue",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
+    # --- stream topology (r5): weighted accumulation, Shreve magnitude,
+    # --- Strahler order — oracled here in the overflow; their §2
+    # --- hydrology row stays evidenced in-window by r_flow_dir,
+    # --- r_flow_accum and r_basins (same graph, same machinery) ---------
+    "r_flow_weighted", "r_shreve", "r_strahler",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3294,6 +3527,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_hillshade_md": _r_hillshade_md,
             "r_flow_dir": _r_flow_dir,
             "r_flow_accum": _r_flow_accum,
+            "r_flow_weighted": _r_flow_weighted,
+            "r_shreve": _r_shreve,
+            "r_strahler": _r_strahler,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,
