@@ -1215,6 +1215,43 @@ def _r_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "r", "c", F.col("v").cast("long").alias("sorder"))
 
 
+def _r_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point sampling (gdallocationinfo / GRASS r.what parity): raster
+    value at each corpus point's containing cell. The cell rule is one
+    subtraction + one division + floor per axis — identical operand
+    order in both engines — and the value is a bit-copy of the input
+    cell, so the oracle (a three-way join of points x image extents x
+    ground-truth pixels) matches value-exactly including NODATA
+    passthrough. Engine side: operators/gridding.sample_points
+    (broadcast points onto tiles, zero Python stages, one decode pass)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.gridding import sample_points
+
+    images, _, points = _corpus(spark)
+    tiles = decode_tiles(images, tile_rows=8)
+    return sample_points(tiles, points).select(
+        "point_id", "image_id", "r", "c", "val")
+
+
+def _r_zonal_majority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Categorical zonal stats (ArcGIS Zonal Statistics MAJORITY /
+    VARIETY parity): per-zone majority class (tie -> smallest class),
+    variety and valid-pixel count, classes = floor(val/16) % 7 (exact
+    integers in both engines). Same tile-centroid zone membership as
+    r_flagship_zonal; the majority argmax is the overflow-free two-step
+    aggregation on both sides."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.zonal import zonal_categorical
+
+    images, zones, _ = _corpus(spark)
+    tiles = decode_tiles(images, tile_rows=8)
+    return zonal_categorical(
+        tiles, zones,
+        lambda v: (F.floor(v.cast("double") / F.lit(16.0)).cast("long")
+                   % F.lit(7).cast("long")),
+        res=6)
+
+
 def _r_proximity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Euclidean distance transform (gdal_proximity parity):
     per-cell squared cell distance to the nearest target (targets =
@@ -1671,6 +1708,64 @@ def _corpus_oracles() -> dict[str, str]:
                round(CAST(SUM(CAST(ps AS DECIMAL(30,10))) AS DOUBLE)
                      / CAST(SUM(pn) AS BIGINT), 6) AS mean_px
         FROM hit GROUP BY zone_id
+    """
+
+    # point sampling: cell rule = one sub + one div + floor per axis,
+    # identical operand order in both engines -> identical floors; the
+    # value is a bit-copy of the ground-truth pixel (NODATA included)
+    sample = f"""
+        WITH tgt AS (
+            SELECT p.point_id, i.image_id,
+                   CAST(floor((p.y - i.y0) / i.cellsize) AS BIGINT) AS r,
+                   CAST(floor((p.x - i.x0) / i.cellsize) AS BIGINT) AS c,
+                   i.w, i.h
+            FROM {points} p, {images} i
+        )
+        SELECT t.point_id, t.image_id, t.r, t.c, px.val AS val
+        FROM tgt t JOIN {pixels} px
+          ON px.image_id = t.image_id AND px.r = t.r AND px.c = t.c
+        WHERE t.r >= 0 AND t.r < t.h AND t.c >= 0 AND t.c < t.w
+    """
+
+    # categorical zonal stats: per-(tile, class) counts -> centroid ray
+    # cast -> per-zone class table -> two-step majority argmax (max count
+    # -> join equal -> min class). All integers.
+    zonal_majority = f"""
+        WITH cls AS (
+            SELECT image_id, r // 8 AS tile_y,
+                   CAST(floor(CAST(val AS DOUBLE) / CAST(16 AS DOUBLE))
+                        AS BIGINT) % 7 AS k,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM {pixels} WHERE val <> {nd}
+            GROUP BY image_id, r // 8, k
+        ),
+        cent AS (
+            SELECT t.*,
+                   i.x0 + i.w / 2.0 * i.cellsize AS cx,
+                   i.y0 + (t.tile_y * 8 + 8 / 2.0) * i.cellsize AS cy
+            FROM cls t JOIN {images} i USING (image_id)
+        ),
+        hit AS (
+            SELECT z.zone_id, c.k, c.n
+            FROM cent c, {zones} z
+            WHERE {_raycast_sql('c.cx', 'c.cy', 'z.ring')}
+        ),
+        zc AS (
+            SELECT zone_id, k, CAST(SUM(n) AS BIGINT) AS n
+            FROM hit GROUP BY zone_id, k
+        ),
+        mx AS (
+            SELECT zone_id, max(n) AS mxn,
+                   CAST(SUM(n) AS BIGINT) AS n_px,
+                   CAST(count(*) AS BIGINT) AS variety
+            FROM zc GROUP BY zone_id
+        )
+        SELECT z.zone_id, CAST(min(z.k) AS BIGINT) AS majority,
+               CAST(min(m.mxn) AS BIGINT) AS majority_n,
+               CAST(min(m.variety) AS BIGINT) AS variety,
+               CAST(min(m.n_px) AS BIGINT) AS n_px
+        FROM zc z JOIN mx m ON m.zone_id = z.zone_id AND z.n = m.mxn
+        GROUP BY z.zone_id
     """
 
     # Horn 3x3 stencil from scratch: 8 neighbor self-joins; the engine's
@@ -3277,6 +3372,8 @@ def _corpus_oracles() -> dict[str, str]:
 
     return {
         "r_flagship_zonal": zonal,
+        "r_sample_points": sample,
+        "r_zonal_majority": zonal_majority,
         "r_focal_slope": slope,
         "r_focal_aspect": aspect,
         "r_focal_hillshade": hillshade,
@@ -3472,6 +3569,11 @@ CONTRACT_ORDER = [
     "q_ivf_ann", "q05_region_revenue",
     "q_cube", "q_setops_except", "q_setops_intersect", "q_ann_topk",
     "r_resample_nearest", "r_knn_tiles",
+    # --- point sampling + categorical zonal (r5): raster->points and
+    # --- MAJORITY/VARIETY — their §2 rows (zonal family, spatial join
+    # --- family) stay evidenced in-window by r_flagship_zonal and
+    # --- r_pip_join ------------------------------------------------------
+    "r_sample_points", "r_zonal_majority",
     # --- stream topology (r5): weighted accumulation, Shreve magnitude,
     # --- Strahler order — oracled here in the overflow; their §2
     # --- hydrology row stays evidenced in-window by r_flow_dir,
@@ -3519,6 +3621,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "q_ivf_ann_join": _q_ivf_ann_join,
             "q_ivf_ann_trained": _q_ivf_ann_trained,
             "r_flagship_zonal": _r_flagship_zonal,
+            "r_sample_points": _r_sample_points,
+            "r_zonal_majority": _r_zonal_majority,
             "r_focal_slope": _r_focal_slope,
             "r_focal_aspect": _r_focal_aspect,
             "r_focal_hillshade": _r_focal_hillshade,

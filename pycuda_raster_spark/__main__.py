@@ -9,9 +9,11 @@ engine keeps that exact shape:
 
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
-hillshade, tri, tpi, roughness, flow_dir, flow_accum} (the gdaldem
-product set plus D8 flow direction and flow accumulation), plus "dem"
-(the elevation itself — useful with --resample). Each OUT receives a
+hillshade, tri, tpi, roughness, curv_profile, curv_plan, flow_dir,
+flow_accum, shreve, strahler, basins} (the gdaldem product set plus
+Zevenbergen-Thorne curvature and the D8 hydrology family — all hydro
+products share ONE decode+flow_dir pass), plus "dem" (the elevation
+itself — useful with --resample). Each OUT receives a
 parquet tile table for its product (one input pass computes all
 requested products — the reference's multi-output fan-out).
 
@@ -135,7 +137,9 @@ def main(argv: list[str]) -> int:
                else ("fillnodata",) if fillnodata
                else ("sieve", "sieve_regions") if sieve
                else ("viewshed",) if viewshed
-               else ALL_PRODUCTS + ("flow_accum",)
+               else ALL_PRODUCTS
+               + ("flow_accum", "shreve", "strahler", "basins",
+                  "curv_profile", "curv_plan")
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
     if bad:
@@ -381,23 +385,57 @@ def main(argv: list[str]) -> int:
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"mosaic {out_h}x{out_w} {rule}")
         return 0
-    accum_pairs = [(o, f) for o, f in pairs if f == "flow_accum"]
-    if accum_pairs:
-        from pyspark.sql import functions as F
-
+    curv_pairs = [(o, f) for o, f in pairs
+                  if f in ("curv_profile", "curv_plan")]
+    if curv_pairs:
         from .operators.decode import decode_tiles
-        from .operators.focal import flow_dir_tiles
-        from .operators.hydro import flow_accum_tiles
+        from .operators.focal import curvature_tiles
 
         keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
                 "x0", "y0", "crs"]
-        accum = flow_accum_tiles(
-            flow_dir_tiles(decode_tiles(images, tile_rows=tile_rows)))
-        for out, func in accum_pairs:
-            accum.select(*keep, "flow_accum").write.mode(
+        curv = curvature_tiles(decode_tiles(images, tile_rows=tile_rows))
+        if len(curv_pairs) > 1:
+            curv = curv.localCheckpoint(eager=True)
+        for out, func in curv_pairs:
+            curv.select(*keep, func).write.mode("overwrite").parquet(out)
+            print(f"wrote {func} tiles -> {out}")
+        pairs = [(o, f) for o, f in pairs
+                 if f not in ("curv_profile", "curv_plan")]
+        products = tuple(f for _, f in pairs)
+        if not pairs:
+            return 0
+    HYDRO = {"flow_accum": "flow_accum", "shreve": "shreve",
+             "strahler": "strahler", "basins": "basin"}
+    hydro_pairs = [(o, f) for o, f in pairs if f in HYDRO]
+    if hydro_pairs:
+        from .operators.decode import decode_tiles
+        from .operators.focal import flow_dir_tiles
+        from .operators.hydro import (
+            basins_tiles,
+            flow_accum_tiles,
+            shreve_tiles,
+            strahler_tiles,
+        )
+
+        keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "crs"]
+        # ONE decode + flow_dir pass shared by every requested hydro
+        # product (pinned here, so the operators skip their own pin)
+        dirs = flow_dir_tiles(decode_tiles(
+            images, tile_rows=tile_rows)).localCheckpoint(eager=True)
+        ops = {"flow_accum": flow_accum_tiles, "shreve": shreve_tiles,
+               "strahler": strahler_tiles, "basins": basins_tiles}
+        built: dict = {}
+        from pyspark.sql import functions as F
+
+        for out, func in hydro_pairs:
+            if func not in built:
+                built[func] = ops[func](dirs, pinned=False)
+            built[func].select(
+                *keep, F.col(HYDRO[func]).alias(func)).write.mode(
                 "overwrite").parquet(out)
-            print(f"wrote flow_accum tiles -> {out}")
-        pairs = [(o, f) for o, f in pairs if f != "flow_accum"]
+            print(f"wrote {func} tiles -> {out}")
+        pairs = [(o, f) for o, f in pairs if f not in HYDRO]
         products = tuple(f for _, f in pairs)
         if not pairs:
             return 0
@@ -439,23 +477,41 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
     terr_want = tuple(p for p in set(products) & set(TERRAIN_PRODUCTS))
     horn = focal_products(tiles, products=horn_want).cache() if horn_want else None
     terr = terrain_tiles(tiles, products=terr_want).cache() if terr_want else None
-    flow = (flow_dir_tiles(tiles).cache()
-            if {"flow_dir", "flow_accum"} & set(products) else None)
-    accum = None
-    if "flow_accum" in products:
-        from .operators.hydro import flow_accum_tiles
+    hydro_cols = {"flow_accum": "flow_accum", "shreve": "shreve",
+                  "strahler": "strahler", "basins": "basin"}
+    flow = (flow_dir_tiles(tiles).localCheckpoint(eager=True)
+            if ({"flow_dir"} | set(hydro_cols)) & set(products) else None)
+    hydro: dict = {}
+    if set(hydro_cols) & set(products):
+        from .operators.hydro import (
+            basins_tiles,
+            flow_accum_tiles,
+            shreve_tiles,
+            strahler_tiles,
+        )
 
-        accum = flow_accum_tiles(flow)
+        ops = {"flow_accum": flow_accum_tiles, "shreve": shreve_tiles,
+               "strahler": strahler_tiles, "basins": basins_tiles}
+        for func in set(hydro_cols) & set(products):
+            hydro[func] = ops[func](flow, pinned=False)
+    curv = None
+    if {"curv_profile", "curv_plan"} & set(products):
+        from .operators.focal import curvature_tiles
+
+        curv = curvature_tiles(tiles)
     for out, func in pairs:
         if func == "dem":
             src = tiles
         elif func == "flow_dir":
             src = flow
-        elif func == "flow_accum":
-            src = accum
+        elif func in hydro_cols:
+            src = hydro[func]
+        elif func in ("curv_profile", "curv_plan"):
+            src = curv
         else:
             src = horn if func in PRODUCTS else terr
-        col = "px" if func == "dem" else func
+        col = ("px" if func == "dem"
+               else hydro_cols.get(func, func))
         src.select(*keep, F.col(col).alias(func)).write.mode(
             "overwrite").parquet(out)
         print(f"wrote {func} tiles ({label}) -> {out}")

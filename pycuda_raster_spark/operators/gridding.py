@@ -142,3 +142,48 @@ def grid_idw(
             .select("r", "c",
                     F.coalesce(F.col("__z"), F.lit(float(nodata)))
                     .alias("z")))
+
+
+def sample_points(
+    tiles: DataFrame,
+    points: DataFrame,
+    value_col: str = "px",
+) -> DataFrame:
+    """Raster -> points (gdallocationinfo / GRASS r.what parity): the
+    raster value at each point's containing cell, one output row per
+    (point, image) whose extent contains the point.
+
+    Cell rule (south-up, shared verbatim by the DuckDB oracle): row
+    r = floor((y - y0) / cellsize), col c = floor((x - x0) / cellsize),
+    kept iff 0 <= r < h and 0 <= c < w. One subtraction + one division
+    + floor per axis — identical operand order in both engines gives
+    identical doubles, so boundary points floor the same way. The value
+    is a bit-copy of the input cell (NODATA passes through — callers
+    filter if they want valid-only).
+
+    Scale shape: ZERO Python stages beyond the upstream decode (which
+    runs ONCE — each tile row carries its own geometry, so there is no
+    extents side-branch re-executing the lineage) and the pixel payload
+    never shuffles: the (small) point set broadcasts onto the tiles,
+    each tile row keeps only the points its band contains, then one
+    ``element_at`` per hit. For billion-point sets swap the broadcast
+    for the bucketed cell-index join (``grid_idw``'s shape); this path
+    is the small/medium query-set tool.
+    """
+    p = points.select("point_id", "x", "y")
+    j = (tiles.select("image_id", "ty0", "th", "w", "x0", "y0",
+                      "cellsize", value_col)
+         .join(F.broadcast(p))
+         .withColumn("r", F.floor((F.col("y") - F.col("y0"))
+                                  / F.col("cellsize")).cast("long"))
+         .withColumn("c", F.floor((F.col("x") - F.col("x0"))
+                                  / F.col("cellsize")).cast("long"))
+         .filter((F.col("r") >= F.col("ty0"))
+                 & (F.col("r") < F.col("ty0") + F.col("th"))
+                 & (F.col("c") >= 0) & (F.col("c") < F.col("w"))))
+    return j.select(
+        "point_id", "image_id", "r", "c",
+        F.element_at(
+            F.col(value_col),
+            ((F.col("r") - F.col("ty0")) * F.col("w") + F.col("c")
+             + F.lit(1)).cast("int")).alias("val"))

@@ -119,6 +119,58 @@ def zonal_stats_from_partials(
     )
 
 
+def zonal_categorical(
+    tiles: DataFrame,
+    zones: DataFrame,
+    class_of,
+    res: int | None = None,
+    value_col: str = "px",
+    nodata: float = float(NODATA),
+) -> DataFrame:
+    """Per-zone CATEGORICAL stats (ArcGIS Zonal Statistics MAJORITY /
+    VARIETY parity) over integer classes derived from the pixels of
+    tiles whose centroid falls in the zone (the same membership rule as
+    ``zonal_stats``): (zone_id, majority, majority_n, variety, n_px)
+    where majority = the most frequent class (tie -> smallest class),
+    variety = distinct class count, n_px = valid pixels.
+
+    ``class_of``: Column -> Column mapping a pixel value to its bigint
+    class (e.g. ``lambda v: F.floor(v / 16).cast("long") % 7``). Applied
+    to valid (non-NODATA) pixels only.
+
+    Scale shape: the explode feeds Spark's hash aggregate INSIDE the
+    scan stage (map-side combine), so the shuffle carries one row per
+    (tile, class), never pixels; the PIP join broadcasts zones; the
+    majority argmax is the overflow-free two-step aggregation (max
+    count -> join equal -> min class) — all integers, partition- and
+    engine-invariant."""
+    valid = F.filter(F.col(value_col), lambda v: v != F.lit(float(nodata)))
+    slim = tiles.select(
+        "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
+        F.explode(F.transform(valid, class_of)).alias("k"))
+    counts = slim.groupBy(
+        "image_id", "tile_y", "ty0", "th", "w", "x0", "y0", "cellsize",
+        "k").agg(F.count(F.lit(1)).alias("n"))
+
+    zres = res if res is not None else _zone_res(zones)
+    cent = tile_centroids(counts, zres).withColumnRenamed(
+        "cx", "x").withColumnRenamed("cy", "y")
+    joined = pip_join_full(cent, zones, res=zres)
+
+    zc = joined.groupBy("zone_id", "k").agg(F.sum("n").alias("n"))
+    mx = zc.groupBy("zone_id").agg(
+        F.max("n").alias("__mx"),
+        F.sum("n").alias("n_px"),
+        F.count_distinct("k").alias("variety"))
+    return (zc.join(mx, "zone_id")
+            .filter(F.col("n") == F.col("__mx"))
+            .groupBy("zone_id")
+            .agg(F.min("k").alias("majority"),
+                 F.first("__mx").alias("majority_n"),
+                 F.first("variety").alias("variety"),
+                 F.first("n_px").alias("n_px")))
+
+
 RASTERIZE_SCHEMA = (
     "image_id string, tile_y int, ty0 int, th int, w int, zone_mask array<long>"
 )

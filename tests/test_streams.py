@@ -292,3 +292,40 @@ def test_shreve_plan_shape(spark, images_df):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
     assert plan.count("MapInPandas") == 1, plan
+
+
+def test_cli_hydro_products(spark, images_df, tmp_path):
+    """shreve / strahler / basins as CLI products (one shared
+    decode+flow_dir pass), plus curv_profile through the same entry."""
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.functions.focal_kernels import curvature_products
+    from pycuda_raster_spark.operators.hydro import basins_grid
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out_sh = str(tmp_path / "shreve")
+    out_st = str(tmp_path / "strahler")
+    out_b = str(tmp_path / "basins")
+    out_cp = str(tmp_path / "curvp")
+    assert main([inp, out_sh, "shreve", out_st, "strahler", out_b, "basins",
+                 "--tile-rows=8", "--cores=4"]) == 0
+    assert main([inp, out_cp, "curv_profile",
+                 "--tile-rows=8", "--cores=4"]) == 0
+
+    def grid_of(path, col, dtype):
+        rows = (spark.read.parquet(path)
+                .filter(F.col("image_id") == "img000000").collect())
+        rows.sort(key=lambda r: r.ty0)
+        return np.vstack([np.asarray(r[col], dtype).reshape(r.th, r.w)
+                          for r in rows])
+
+    dirs = flow_dir(_decoded(0))
+    np.testing.assert_array_equal(grid_of(out_sh, "shreve", np.float32),
+                                  shreve_grid(dirs))
+    np.testing.assert_array_equal(grid_of(out_st, "strahler", np.int64),
+                                  strahler_grid(dirs))
+    np.testing.assert_array_equal(grid_of(out_b, "basins", np.int64),
+                                  basins_grid(dirs))
+    want_p, _ = curvature_products(_decoded(0), 1.0)
+    np.testing.assert_array_equal(
+        grid_of(out_cp, "curv_profile", np.float32), want_p)
