@@ -1215,6 +1215,49 @@ def _r_strahler(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "r", "c", F.col("v").cast("long").alias("sorder"))
 
 
+def _r_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Topographic wetness index (GRASS r.topidx parity): per-cell
+    ln(((acc + 1) * cellsize) / max(tan(radians(slope_f32)), 0.001)),
+    float32 output. The float32 Horn slope and the integer accumulation
+    are both already oracle-pinned; the remaining ln/tan chain agrees
+    across JVM, NumPy, libm and DuckDB at float32 (measured 0/100k),
+    so the oracle (slope CTE + recursive closure + the same chain)
+    matches value-exactly."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.hydro import twi_tiles
+
+    images, _, _ = _corpus(spark)
+    out = twi_tiles(decode_tiles(images, tile_rows=8))
+    proj = _flow_pos_cols(out, "twi", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").alias("twi"))
+
+
+def _r_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-link extraction (GRASS r.stream.extract / ArcGIS Stream
+    Link parity): channel cells = dir-valid cells whose weakly-upstream
+    count (flow_accum + 1) >= 12; the channel graph is cut at junctions
+    (>= 2 channel inflows) and every channel cell carries its link's
+    min-(r, c) member key plus the link size. Integers and zero-padded
+    key strings only, on the exact r_flow_accum graph — the DuckDB
+    oracle (channel filter + junction cut + undirected reachability
+    closure + MIN, the q_dedup_clusters pattern) matches value-exactly.
+    Engine side: operators/hydro.stream_links_tiles (two-pass
+    accumulation -> slim sparse channel table -> pointer-jumping CC)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import stream_links_tiles
+
+    images, _, _ = _corpus(spark)
+    out = stream_links_tiles(
+        flow_dir_tiles(decode_tiles(images, tile_rows=8)), threshold=12)
+    return out.select(
+        "image_id", F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"),
+        F.col("acc").cast("long").alias("acc"), "link_id",
+        F.col("link_cells").cast("long").alias("link_cells"))
+
+
 def _r_sample_points(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Point sampling (gdallocationinfo / GRASS r.what parity): raster
     value at each corpus point's containing cell. The cell rule is one
@@ -2196,6 +2239,108 @@ def _corpus_oracles() -> dict[str, str]:
                CAST(1 + coalesce(cnt.extra, 0) AS BIGINT) AS sorder
         FROM dirs d LEFT JOIN cnt
           ON cnt.image_id = d.image_id AND cnt.r = d.r AND cnt.c = d.c
+    """
+
+    # TWI: float32 Horn slope + integer accumulation through the
+    # ln/tan/radians chain, float32 cast absorbing libm-vs-JVM ulps
+    twi_sql = f"""
+        WITH RECURSIVE {horn_win},
+        {_graph},
+        slp AS (
+            SELECT image_id, r, c,
+                   CAST(degrees(atan(sqrt(dzdx * dzdx + dzdy * dzdy)))
+                        AS FLOAT) AS s
+            FROM grad
+        ),
+        n AS (
+            SELECT image_id, vr AS r, vc AS c,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM reach GROUP BY image_id, vr, vc
+        )
+        SELECT d.image_id, d.r, d.c,
+               CAST(ln(((CAST(coalesce(n.acc, 0) AS DOUBLE)
+                         + CAST(1 AS DOUBLE)) * i.cellsize)
+                       / greatest(tan(radians(CAST(sl.s AS DOUBLE))),
+                                  CAST(0.001 AS DOUBLE)))
+                    AS FLOAT) AS twi
+        FROM dirs d
+        JOIN slp sl ON sl.image_id = d.image_id AND sl.r = d.r
+                       AND sl.c = d.c
+        LEFT JOIN n ON n.image_id = d.image_id AND n.r = d.r
+                       AND n.c = d.c
+        JOIN {images} i ON i.image_id = d.image_id
+    """
+
+    # stream links: channel cells (acc + 1 >= 12) cut at junctions
+    # (>= 2 channel inflows), labeled by min flat index via the
+    # q_dedup_clusters undirected-reachability + MIN pattern; all
+    # integers / zero-padded key strings. chan/ce are MATERIALIZED
+    # (multi-referenced inside WITH RECURSIVE — CLAUDE.md DuckDB notes)
+    stream_links = f"""
+        WITH RECURSIVE {horn_win},
+        {_graph},
+        n AS (
+            SELECT image_id, vr AS r, vc AS c,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM reach GROUP BY image_id, vr, vc
+        ),
+        chan AS MATERIALIZED (
+            SELECT d.image_id, d.r, d.c,
+                   CAST(coalesce(n.acc, 0) AS BIGINT) AS acc
+            FROM dirs d LEFT JOIN n
+              ON n.image_id = d.image_id AND n.r = d.r AND n.c = d.c
+            WHERE coalesce(n.acc, 0) + 1 >= 12
+        ),
+        ce AS MATERIALIZED (
+            SELECT e.image_id, e.r, e.c, e.tr, e.tc
+            FROM e2 e
+            JOIN chan s ON s.image_id = e.image_id
+                           AND s.r = e.r AND s.c = e.c
+            JOIN chan t ON t.image_id = e.image_id
+                           AND t.r = e.tr AND t.c = e.tc
+        ),
+        junc AS (
+            SELECT image_id, tr, tc FROM ce
+            GROUP BY image_id, tr, tc HAVING count(*) >= 2
+        ),
+        kept AS (
+            SELECT ce.image_id, ce.r * 32 + ce.c AS u,
+                   ce.tr * 32 + ce.tc AS v
+            FROM ce LEFT JOIN junc j
+              ON j.image_id = ce.image_id AND j.tr = ce.tr
+                 AND j.tc = ce.tc
+            WHERE j.tr IS NULL
+        ),
+        und AS (
+            SELECT image_id, u, v FROM kept
+            UNION SELECT image_id, v AS u, u AS v FROM kept
+        ),
+        reach2 AS (
+            SELECT image_id, r * 32 + c AS src, r * 32 + c AS dst
+            FROM chan
+            UNION
+            SELECT p.image_id, p.src, und.v AS dst
+            FROM reach2 p JOIN und
+              ON und.image_id = p.image_id AND und.u = p.dst
+        ),
+        lab AS (
+            SELECT image_id, src AS node, MIN(dst) AS label
+            FROM reach2 GROUP BY image_id, src
+        ),
+        sz AS (
+            SELECT image_id, label, CAST(count(*) AS BIGINT) AS link_cells
+            FROM lab GROUP BY image_id, label
+        )
+        SELECT ch.image_id, CAST(ch.r AS INT) AS r, CAST(ch.c AS INT) AS c,
+               ch.acc,
+               ch.image_id || ':'
+                 || lpad(CAST(l.label // 32 AS VARCHAR), 9, '0') || ':'
+                 || lpad(CAST(l.label % 32 AS VARCHAR), 9, '0') AS link_id,
+               sz.link_cells
+        FROM chan ch
+        JOIN lab l ON l.image_id = ch.image_id
+                      AND l.node = ch.r * 32 + ch.c
+        JOIN sz ON sz.image_id = l.image_id AND sz.label = l.label
     """
 
     # exact EDT (gdal_proximity): brute-force min squared distance over
@@ -3385,6 +3530,8 @@ def _corpus_oracles() -> dict[str, str]:
         "r_flow_weighted": flow_weighted,
         "r_shreve": shreve,
         "r_strahler": strahler,
+        "r_twi": twi_sql,
+        "r_stream_links": stream_links,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3579,6 +3726,13 @@ CONTRACT_ORDER = [
     # --- hydrology row stays evidenced in-window by r_flow_dir,
     # --- r_flow_accum and r_basins (same graph, same machinery) ---------
     "r_flow_weighted", "r_shreve", "r_strahler",
+    # --- TWI (r5): the slope+accum composition; slope numerics evidenced
+    # --- in-window by r_focal_slope, the graph by r_flow_accum ----------
+    "r_twi",
+    # --- stream links (r5): channel cut + CC labeling; the CC machinery
+    # --- evidenced in-window by q_dedup_clusters, the graph by
+    # --- r_flow_accum ---------------------------------------------------
+    "r_stream_links",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3634,6 +3788,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_flow_weighted": _r_flow_weighted,
             "r_shreve": _r_shreve,
             "r_strahler": _r_strahler,
+            "r_twi": _r_twi,
+            "r_stream_links": _r_stream_links,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,

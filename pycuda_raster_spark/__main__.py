@@ -10,7 +10,7 @@ engine keeps that exact shape:
 INPUT: an images-table parquet path, or a directory/glob of raster files
 (ESRI ASCII Grid .asc and/or GeoTIFF .tif). FUNC in {slope, aspect,
 hillshade, tri, tpi, roughness, curv_profile, curv_plan, flow_dir,
-flow_accum, shreve, strahler, basins} (the gdaldem product set plus
+flow_accum, shreve, strahler, basins, twi} (the gdaldem product set plus
 Zevenbergen-Thorne curvature and the D8 hydrology family — all hydro
 products share ONE decode+flow_dir pass), plus "dem" (the elevation
 itself — useful with --resample). Each OUT receives a
@@ -83,6 +83,12 @@ terrain; MD = max distance in cells (gdal_viewshed -md; bands beyond it
 are pruned before the shuffle). FUNC "viewshed" writes the per-tile
 visibility table. Mutually exclusive with the other modes.
 
+--streams=THRESHOLD (GRASS r.stream.extract / ArcGIS Stream Link, r5):
+channel cells = cells whose weakly-upstream count (flow_accum + 1) >=
+THRESHOLD; the channel graph is cut at junctions and labeled into
+links. FUNC "streams" writes the SPARSE link table (image_id, r, c,
+acc, link_id, link_cells). Mutually exclusive with the other modes.
+
 --overviews=K1,K2,... (gdaladdo, r5): overview pyramid — compute the
 product list on every /K reduced level (--overviews-method=
 nearest|bilinear, default nearest), written under OUT/level=K/.
@@ -124,12 +130,14 @@ def main(argv: list[str]) -> int:
     fillnodata = opts.get("fillnodata") or opts.get("fillnodata-values")
     sieve = opts.get("sieve")
     viewshed = opts.get("viewshed")
+    streams = opts.get("streams")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity, fillnodata, sieve, viewshed)
+             contour, proximity, fillnodata, sieve, viewshed, streams)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
-              "--fillnodata / --sieve / --viewshed are mutually exclusive")
+              "--fillnodata / --sieve / --viewshed / --streams are "
+              "mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
@@ -137,8 +145,9 @@ def main(argv: list[str]) -> int:
                else ("fillnodata",) if fillnodata
                else ("sieve", "sieve_regions") if sieve
                else ("viewshed",) if viewshed
+               else ("streams",) if streams
                else ALL_PRODUCTS
-               + ("flow_accum", "shreve", "strahler", "basins",
+               + ("flow_accum", "shreve", "strahler", "basins", "twi",
                   "curv_profile", "curv_plan")
                + (("dem",) if any(modes) else ()))
     bad = set(products) - set(allowed)
@@ -291,6 +300,19 @@ def main(argv: list[str]) -> int:
             res.write.mode("overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
         return 0
+    if streams:
+        # --streams=THRESHOLD: stream-link extraction (sparse table)
+        from .operators.decode import decode_tiles
+        from .operators.focal import flow_dir_tiles
+        from .operators.hydro import stream_links_tiles
+
+        links = stream_links_tiles(
+            flow_dir_tiles(decode_tiles(images, tile_rows=tile_rows)),
+            threshold=int(streams))
+        for out, func in pairs:
+            links.write.mode("overwrite").parquet(out)
+            print(f"wrote stream links -> {out}")
+        return 0
     if viewshed:
         # --viewshed=OROW,OCOL[,OZ[,MD]]: gdal_viewshed
         from .operators.decode import decode_tiles
@@ -385,6 +407,21 @@ def main(argv: list[str]) -> int:
         _run_regridded(spark, images, pairs, products, tile_rows,
                        regrid, f"mosaic {out_h}x{out_w} {rule}")
         return 0
+    twi_pairs = [(o, f) for o, f in pairs if f == "twi"]
+    if twi_pairs:
+        from .operators.decode import decode_tiles
+        from .operators.hydro import twi_tiles
+
+        keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "crs"]
+        tw = twi_tiles(decode_tiles(images, tile_rows=tile_rows))
+        for out, _ in twi_pairs:
+            tw.select(*keep, "twi").write.mode("overwrite").parquet(out)
+            print(f"wrote twi tiles -> {out}")
+        pairs = [(o, f) for o, f in pairs if f != "twi"]
+        products = tuple(f for _, f in pairs)
+        if not pairs:
+            return 0
     curv_pairs = [(o, f) for o, f in pairs
                   if f in ("curv_profile", "curv_plan")]
     if curv_pairs:
@@ -499,9 +536,16 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
         from .operators.focal import curvature_tiles
 
         curv = curvature_tiles(tiles)
+    twi = None
+    if "twi" in products:
+        from .operators.hydro import twi_tiles
+
+        twi = twi_tiles(tiles, pinned=False)
     for out, func in pairs:
         if func == "dem":
             src = tiles
+        elif func == "twi":
+            src = twi
         elif func == "flow_dir":
             src = flow
         elif func in hydro_cols:

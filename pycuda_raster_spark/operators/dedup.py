@@ -326,6 +326,17 @@ def dedup_clusters(
     lives on the driver, the data never does). Compose with the banded
     LSH pair generators for the production path; the exhaustive pair mode
     is the oracle configuration.
+
+    Each round's labels are pinned with ``localCheckpoint(eager=True)``,
+    NOT ``cache()``: the round maps ``stepped`` through a self-join
+    (``stepped`` appears twice in ``nxt``'s lineage), so without plan
+    truncation the logical plan DOUBLES per round — exponential analyzer
+    and plan-toString cost that freezes the driver around round ~10 on
+    long-diameter graphs (observed: stream-link chains; cache()
+    materializes data but never truncates the plan). The checkpoint
+    bounds every round's plan at constant size; blocks are
+    ContextCleaner-freed when the previous round's DataFrame goes
+    unreachable.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
@@ -343,11 +354,13 @@ def dedup_clusters(
         stepped = labels.join(nbr, "id", "left").select(
             "id", F.least("label", F.coalesce("nl", "label")).alias("label"))
         # pointer jumping: label <- label(label); label ids are node ids,
-        # so the self-join always resolves
+        # so the self-join always resolves. localCheckpoint, NOT cache:
+        # stepped appears twice below -> plan doubles per round without
+        # truncation (see docstring).
         parent = stepped.select(F.col("id").alias("label"),
                                 F.col("label").alias("plabel"))
         nxt = stepped.join(parent, "label").select(
-            "id", F.col("plabel").alias("label")).cache()
+            "id", F.col("plabel").alias("label")).localCheckpoint(eager=True)
         changed = (nxt.join(labels.withColumnRenamed("label", "old"), "id")
                    .filter(F.col("label") != F.col("old")).count())
         labels.unpersist()
@@ -357,11 +370,10 @@ def dedup_clusters(
     else:
         raise RuntimeError(
             f"dedup_clusters did not converge in {max_iterations} rounds")
-    # pin the converged labels in a GC-cleaned localCheckpoint, then drop
-    # the loop caches — a plain .cache() left the final labels (and edges)
-    # resident forever across repeated calls (ADVICE r3)
-    final = labels.localCheckpoint(eager=True)
-    labels.unpersist()
+    # the converged labels are already a GC-cleaned localCheckpoint (a
+    # plain .cache() left the final labels and edges resident forever
+    # across repeated calls — ADVICE r3)
+    final = labels
     edges.unpersist()
     sizes = final.groupBy("label").agg(F.count("*").alias("cluster_size"))
     return final.join(sizes, "label").select(

@@ -104,6 +104,8 @@ def _band_sweep(
     wv = (np.ones(th * w, dtype=np.int64) if wgt is None
           else np.asarray(wgt, dtype=np.int64).ravel())
     acc = ext.astype(np.int64).ravel().copy()
+    if src.size == 0:  # no in-band edges (e.g. a fully flat band)
+        return acc.reshape(th, w), exits, (tr, tc)
     # Kahn by levels: process every zero-indegree node at once
     ready = np.flatnonzero((indeg == 0) & valid.ravel())
     pos = {int(s): i for i, s in enumerate(src)}  # noqa: F841 (clarity)
@@ -655,6 +657,166 @@ def strahler_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     res = lab.copy()
     res[~valid] = -1
     return res
+
+
+def stream_links_tiles(
+    dir_tiles: DataFrame,
+    threshold: int,
+    dir_col: str = "flow_dir",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Stream network extraction (GRASS r.stream.extract-style): channel
+    cells = dir-valid cells whose weakly-upstream cell count
+    (flow_accum + 1) >= ``threshold``; the channel graph splits into
+    LINKS at junctions (an edge INTO a cell with >= 2 channel inflows is
+    cut, so the junction target starts a new link — the standard
+    link-partitioning rule); every channel cell gets
+    ``link_id`` = the min (image_id, r, c) member key of its link.
+
+    Output is SPARSE slim rows (image_id, r, c, acc, link_id,
+    link_cells) — no tile payloads. Accumulation is monotone along flow,
+    so a channel cell's flow target is channel (or terminal): the
+    channel subgraph is closed and the cut rule alone defines links.
+
+    Scale shape: accumulation is the proven two-pass engine; everything
+    after is JVM over the SPARSE channel table (explode feeds an
+    in-stage filter; edges/junctions are slim self-joins) and the link
+    labeling is ``dedup_clusters``' O(log d) pointer jumping. Keys are
+    zero-padded strings so lexicographic min == (r, c) min (the
+    CLAUDE.md generic-CC recipe)."""
+    from .dedup import dedup_clusters
+
+    tiles = dir_tiles.select(*_GEO, dir_col).withColumnRenamed(
+        dir_col, "__dir")
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+    acc = _accum_generic(tiles, "acc", carry=("__dir",),
+                         max_rounds=max_rounds, nodata=nodata)
+
+    nd = F.lit(float(nodata)).cast("float")
+    z = acc.select(
+        "image_id", "ty0", "w",
+        F.posexplode(F.arrays_zip("acc", "__dir")).alias("pos", "z"))
+    cells = (z.select(
+        "image_id",
+        (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.col("w")))
+                         / F.col("w"))).cast("long").alias("r"),
+        F.pmod("pos", F.col("w")).cast("long").alias("c"),
+        F.col("z")["acc"].alias("accf"),
+        F.col("z")["__dir"].cast("int").alias("code"))
+        .filter((F.col("accf") != nd)
+                & (F.col("accf").cast("long") + 1 >= F.lit(int(threshold))))
+        .select("image_id", "r", "c",
+                F.col("accf").cast("long").alias("acc"), "code")
+        .localCheckpoint(eager=True))
+
+    def key(r, c):
+        return F.concat_ws(
+            ":", F.col("image_id"),
+            F.lpad(r.cast("string"), 9, "0"),
+            F.lpad(c.cast("string"), 9, "0"))
+
+    out_edges = (cells.filter(F.col("code") > 0).select(
+        "image_id", "r", "c",
+        (F.col("r") + F.when(F.col("code").isin(2, 4, 8), -1)
+         .when(F.col("code").isin(32, 64, 128), 1)
+         .otherwise(0)).alias("tr"),
+        (F.col("c") + F.when(F.col("code").isin(1, 2, 128), 1)
+         .when(F.col("code").isin(8, 16, 32), -1)
+         .otherwise(0)).alias("tc")))
+    tgt = cells.select(F.col("image_id").alias("ti"),
+                       F.col("r").alias("tr2"), F.col("c").alias("tc2"))
+    e2 = out_edges.join(
+        tgt, (F.col("image_id") == F.col("ti"))
+        & (F.col("tr") == F.col("tr2")) & (F.col("tc") == F.col("tc2"))
+    ).select("image_id", "r", "c", "tr", "tc")
+    junc = (e2.groupBy("image_id", "tr", "tc")
+            .agg(F.count(F.lit(1)).alias("n")).filter(F.col("n") >= 2)
+            .select("image_id", "tr", "tc"))
+    kept = e2.join(junc, ["image_id", "tr", "tc"], "left_anti")
+
+    pairs = kept.select(key(F.col("r"), F.col("c")).alias("id_a"),
+                        key(F.col("tr"), F.col("tc")).alias("id_b"))
+    corpus = cells.select(key(F.col("r"), F.col("c")).alias("id"))
+    lab = dedup_clusters(pairs, corpus, id_col="id",
+                         max_iterations=max_iterations)
+    return (cells.withColumn("id", key(F.col("r"), F.col("c")))
+            .join(lab, "id")
+            .select("image_id", "r", "c", "acc",
+                    F.col("cluster_id").alias("link_id"),
+                    F.col("cluster_size").alias("link_cells")))
+
+
+def twi_tiles(
+    tiles: DataFrame,
+    tan_floor: float = 0.001,
+    pinned: bool = True,
+    max_rounds: int | None = None,
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Topographic wetness index (GRASS r.topidx / SAGA TWI parity):
+    twi = ln(a / tan b) per cell, a = (flow_accum + 1) * cellsize (the
+    specific catchment area per unit contour width — the cell itself
+    counts, hence +1), b = Horn slope; tan b is clamped to ``tan_floor``
+    (flats otherwise divide by zero — standard r.topidx practice).
+    Input is DECODE tiles (with halos): slope and the D8 graph both
+    derive from one pinned decode pass.
+
+    Cross-engine exactness: the float32 Horn slope is already oracle-
+    pinned; the remaining chain is (acc+1)*cs (exact — integer counts
+    below 2^24) divided by a clamped tan, through ln, CAST to FLOAT.
+    JVM Math.*, NumPy vector math, C libm and DuckDB all agree at
+    float32 on this chain (measured 0/100k mismatches over the real
+    value range), so tiled == twin == oracle stays bit-for-bit."""
+    from .focal import flow_dir_tiles, focal_products
+
+    if pinned:
+        tiles = tiles.localCheckpoint(eager=True)
+    acc = flow_accum_tiles(flow_dir_tiles(tiles), max_rounds=max_rounds,
+                           nodata=nodata)
+    slope = focal_products(tiles, products=("slope",)).select(
+        "image_id", "tile_y", "slope")
+    j = acc.join(slope, ["image_id", "tile_y"])
+    nd = F.lit(float(nodata)).cast("float")
+    tf = F.lit(float(tan_floor))
+
+    def one(a, s):
+        # lazy CASE branches: the log/tan chain never sees NODATA inputs
+        val = F.log(((a.cast("double") + F.lit(1.0)) * F.col("cellsize"))
+                    / F.greatest(F.tan(F.radians(s.cast("double"))), tf)
+                    ).cast("float")
+        return F.when((a == nd) | (s == nd), nd).otherwise(val)
+
+    return j.select(*_GEO, F.zip_with("flow_accum", "slope", one)
+                    .alias("twi"))
+
+
+def twi_grid(
+    grid: np.ndarray,
+    cellsize: float,
+    tan_floor: float = 0.001,
+    nodata: float = NODATA,
+) -> np.ndarray:
+    """Whole-grid NumPy twin of ``twi_tiles`` — identical operand order
+    ((acc + 1) * cs, clamped tan, ln, float32 cast)."""
+    from ..functions.focal_kernels import flow_dir, horn_products
+
+    slope, _, _ = horn_products(grid, cellsize)
+    dirs = flow_dir(grid)
+    acc = flow_accum_grid(dirs, nodata=nodata)
+    nd32 = np.float32(nodata)
+    valid = (slope != nd32) & (acc != nd32)
+    a = acc.astype(np.float64)
+    s = slope.astype(np.float64)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        out = np.log(((a + 1.0) * cellsize)
+                     / np.maximum(np.tan(np.radians(s)), tan_floor)
+                     ).astype(np.float32)
+    out[~valid] = nd32
+    return out
 
 
 BASIN_SCHEMA = (

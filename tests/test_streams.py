@@ -329,3 +329,165 @@ def test_cli_hydro_products(spark, images_df, tmp_path):
     want_p, _ = curvature_products(_decoded(0), 1.0)
     np.testing.assert_array_equal(
         grid_of(out_cp, "curv_profile", np.float32), want_p)
+
+
+# ------------------------------------------------------------------ twi
+
+
+def test_twi_grid_flat_plane():
+    """Flat plane: slope 0 (tan clamped to the floor), no flow edges ->
+    acc 0 everywhere -> twi = ln(cellsize / 0.001) on every valid cell."""
+    from pycuda_raster_spark.operators.hydro import twi_grid
+
+    g = np.full((12, 10), 5.0, dtype=np.float32)
+    out = twi_grid(g, 2.0)
+    valid = out != np.float32(NODATA)
+    # one-ring edge policy: interior only
+    assert valid[1:-1, 1:-1].all() and not valid[0].any()
+    expect = np.float32(np.log((0.0 + 1.0) * 2.0 / 0.001))
+    assert (out[valid] == expect).all()
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_twi_tiled_matches_twin(spark, images_df, tile_rows):
+    from pycuda_raster_spark.operators.hydro import twi_grid, twi_tiles
+
+    got = _collect(twi_tiles(decode_tiles(images_df, tile_rows=tile_rows)),
+                   "twi", np.float32)
+    cs = 1.0  # decode's GEO_DEFAULTS for the geo-less fixture table
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = twi_grid(_decoded(i), cs)
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+
+
+def test_cli_twi(spark, images_df, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.operators.hydro import twi_grid
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out = str(tmp_path / "twi")
+    assert main([inp, out, "twi", "--tile-rows=8", "--cores=4"]) == 0
+    rows = (spark.read.parquet(out)
+            .filter(F.col("image_id") == "img000000").collect())
+    rows.sort(key=lambda r: r.ty0)
+    got = np.vstack([np.asarray(r.twi, np.float32).reshape(r.th, r.w)
+                     for r in rows])
+    np.testing.assert_array_equal(got, twi_grid(_decoded(0), 1.0))
+
+
+# ---------------------------------------------------------- stream links
+
+
+def brute_stream_links(dirs, threshold):
+    """Independent reference: channel set from the brute path-walk
+    accumulation, junction cuts, BFS connected components, min-key
+    labels. Returns {(r, c): (acc, link_key, link_cells)}."""
+    th, w = dirs.shape
+    acc = brute_weighted_accum(dirs, np.ones((th, w), dtype=np.int64))
+    succ, valid = _edges(dirs)
+    chan = {(r, c) for r in range(th) for c in range(w)
+            if valid[r, c] and acc[r, c] != np.float32(NODATA)
+            and int(acc[r, c]) + 1 >= threshold}
+    edges = [(u, v) for u, v in succ.items() if u in chan and v in chan]
+    indeg = {}
+    for _, v in edges:
+        indeg[v] = indeg.get(v, 0) + 1
+    kept = [(u, v) for u, v in edges if indeg[v] < 2]
+    adj = {}
+    for u, v in kept:
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    out = {}
+    seen = set()
+    for start in sorted(chan):
+        if start in seen:
+            continue
+        comp = [start]
+        seen.add(start)
+        queue = [start]
+        while queue:
+            u = queue.pop()
+            for v in adj.get(u, []):
+                if v not in seen:
+                    seen.add(v)
+                    comp.append(v)
+                    queue.append(v)
+        mk = min(comp)
+        for r, c in comp:
+            out[(r, c)] = (int(acc[r, c]), mk, len(comp))
+    return out
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_stream_links_vs_brute(spark, images_df, tile_rows):
+    from pycuda_raster_spark.operators.hydro import stream_links_tiles
+
+    T = 12
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tile_rows))
+    rows = stream_links_tiles(dirs_df, T).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.image_id, {})[(r.r, r.c)] = (
+            r.acc, r.link_id, r.link_cells)
+    total = 0
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = brute_stream_links(flow_dir(_decoded(i)), T)
+        wantk = {
+            rc: (a, f"{iid}:{mk[0]:09d}:{mk[1]:09d}", n)
+            for rc, (a, mk, n) in want.items()}
+        assert got.get(iid, {}) == wantk, f"{iid} tr={tile_rows}"
+        total += len(wantk)
+    assert total > 0  # threshold actually selects channels
+
+
+def test_stream_links_hand_junction():
+    """The Y grid from the Strahler hand example: the junction target
+    starts a NEW link; both upstream chains are separate links."""
+    from pycuda_raster_spark.operators.hydro import flow_accum_grid
+
+    nd = np.float32(NODATA)
+    dirs = np.full((5, 7), nd, dtype=np.float32)
+    dirs[1, 0] = dirs[1, 1] = 1.0
+    dirs[1, 2] = 128.0
+    dirs[3, 0] = dirs[3, 1] = 1.0
+    dirs[3, 2] = 2.0
+    dirs[2, 3] = dirs[2, 4] = dirs[2, 5] = 1.0
+    dirs[2, 6] = 0.0
+    dirs[0, 5] = 64.0
+    dirs[1, 5] = 128.0
+    links = brute_stream_links(dirs, 1)  # every valid cell is channel
+    # chain A cells share a link rooted at (1,0)
+    assert links[(1, 0)][1] == (1, 0) and links[(1, 2)][1] == (1, 0)
+    # chain B rooted at (3,0)
+    assert links[(3, 2)][1] == (3, 0)
+    # junction target (2,3) starts the trunk link
+    assert links[(2, 3)][1] == (2, 3) and links[(2, 5)][1] == (2, 3)
+    # (2,6) has 2 channel inflows ((2,5) and (1,5)) -> starts its own
+    assert links[(2, 6)][1] == (2, 6)
+    # tributary is its own link ending before the junction cell
+    assert links[(0, 5)][1] == (0, 5) and links[(1, 5)][1] == (0, 5)
+
+
+def test_cli_streams(spark, images_df, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out = str(tmp_path / "links")
+    assert main([inp, out, "streams", "--streams=12",
+                 "--tile-rows=8", "--cores=4"]) == 0
+    rows = spark.read.parquet(out).collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.image_id, {})[(r.r, r.c)] = (
+            r.acc, r.link_id, r.link_cells)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = brute_stream_links(flow_dir(_decoded(i)), 12)
+        wantk = {rc: (a, f"{iid}:{mk[0]:09d}:{mk[1]:09d}", n)
+                 for rc, (a, mk, n) in want.items()}
+        assert got.get(iid, {}) == wantk, iid
