@@ -1233,6 +1233,26 @@ def _r_twi(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "r", "c", F.col("v").alias("twi"))
 
 
+def _r_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-basin zonal statistics (ArcGIS Zonal Statistics over Basin
+    output — the composition users run right after watershed
+    delineation): per (image, basin) cell count, min/max elevation and
+    the exact sum/mean. Integer keys + bit-copy extremes; the sum uses
+    the oracle configuration sum_mode="fold" — a fixed-(r, c)-order
+    double fold, bit-replayable as DuckDB list_reduce (the grid_idw
+    recipe); the default decimal mode is the partition-invariant scale
+    path but Spark's shortest-repr decimal cast is not replayable
+    cross-engine (see operators/hydro.basin_stats). The mean is one
+    correctly-rounded division of identical operands."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.focal import flow_dir_tiles
+    from pycuda_raster_spark.operators.hydro import basin_stats
+
+    images, _, _ = _corpus(spark)
+    dirs = flow_dir_tiles(decode_tiles(images, tile_rows=8), keep_px=True)
+    return basin_stats(dirs, sum_mode="fold")
+
+
 def _r_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-link extraction (GRASS r.stream.extract / ArcGIS Stream
     Link parity): channel cells = dir-valid cells whose weakly-upstream
@@ -2420,9 +2440,10 @@ def _corpus_oracles() -> dict[str, str]:
 
     # basins: same graph; terminal = node with no outgoing edge; each
     # cell's label = its unique reachable terminal's flat index (the
-    # closure is a functional path, so the join yields exactly one row)
-    basins = f"""
-        WITH RECURSIVE {horn_win},
+    # closure is a functional path, so the join yields exactly one row).
+    # The chain is shared with the basin_stats oracle below — reach here
+    # is WEAK (includes self), unlike _graph's strict closure.
+    _basin_graph = f"""
         dr AS (
             SELECT image_id, r, c,
                    (ee - f)          AS d_e,
@@ -2440,7 +2461,7 @@ def _corpus_oracles() -> dict[str, str]:
                                d_w, d_nw, d_n, d_ne) AS maxd
             FROM dr
         ),
-        dirs AS (
+        dirs AS MATERIALIZED (
             SELECT image_id, r, c, {_dir_case} AS code FROM m
         ),
         edges AS (
@@ -2453,7 +2474,7 @@ def _corpus_oracles() -> dict[str, str]:
                               ELSE 0 END AS tc
             FROM dirs d WHERE d.code > 0
         ),
-        e2 AS (
+        e2 AS MATERIALIZED (
             SELECT e.image_id, e.r, e.c, e.tr, e.tc
             FROM edges e JOIN dirs t
               ON t.image_id = e.image_id AND t.r = e.tr AND t.c = e.tc
@@ -2470,11 +2491,49 @@ def _corpus_oracles() -> dict[str, str]:
             FROM dirs d LEFT JOIN e2
               ON e2.image_id = d.image_id AND e2.r = d.r AND e2.c = d.c
             WHERE e2.r IS NULL
-        )
+        )"""
+    basins = f"""
+        WITH RECURSIVE {horn_win},
+        {_basin_graph}
         SELECT p.image_id, CAST(p.ur AS INT) AS r, CAST(p.uc AS INT) AS c,
                CAST(p.vr * 32 + p.vc AS BIGINT) AS basin
         FROM reach p JOIN term t
           ON t.image_id = p.image_id AND t.r = p.vr AND t.c = p.vc
+    """
+
+    # basin stats: per-basin count/min/max/sum/mean of elevation. The
+    # sum is the fixed-(r, c)-order double fold (the grid_idw recipe —
+    # plain + is correctly rounded, so identical operand order gives
+    # identical doubles; Spark's decimal cast rounds the SHORTEST double
+    # repr and is NOT replayable here); the mean is ONE correctly-
+    # rounded division of identical operands
+    basin_stats_sql = f"""
+        WITH RECURSIVE {horn_win},
+        {_basin_graph},
+        lab AS (
+            SELECT p.image_id, p.ur AS r, p.uc AS c,
+                   CAST(p.vr * 32 + p.vc AS BIGINT) AS basin
+            FROM reach p JOIN term t
+              ON t.image_id = p.image_id AND t.r = p.vr AND t.c = p.vc
+        ),
+        agg AS (
+            SELECT l.image_id, l.basin,
+                   CAST(count(*) AS BIGINT) AS n_cells,
+                   min(CAST(px.val AS DOUBLE)) AS min_elev,
+                   max(CAST(px.val AS DOUBLE)) AS max_elev,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(CAST(px.val AS DOUBLE)
+                                         ORDER BY px.r, px.c)),
+                       (a, b) -> a + b) AS s
+            FROM lab l JOIN {pixels} px
+              ON px.image_id = l.image_id AND px.r = l.r AND px.c = l.c
+            GROUP BY l.image_id, l.basin
+        )
+        SELECT image_id, basin, n_cells, min_elev, max_elev,
+               s AS sum_elev,
+               s / CAST(n_cells AS DOUBLE) AS mean_elev
+        FROM agg
     """
 
     # polygonize: 4-connected equal-class regions labeled by min flat
@@ -3532,6 +3591,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_strahler": strahler,
         "r_twi": twi_sql,
         "r_stream_links": stream_links,
+        "r_basin_stats": basin_stats_sql,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3733,6 +3793,10 @@ CONTRACT_ORDER = [
     # --- evidenced in-window by q_dedup_clusters, the graph by
     # --- r_flow_accum ---------------------------------------------------
     "r_stream_links",
+    # --- basin stats (r5): zonal-over-computed-zones composition; the
+    # --- basins labels evidenced in-window by r_basins, the zonal
+    # --- machinery by r_flagship_zonal ----------------------------------
+    "r_basin_stats",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3790,6 +3854,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_strahler": _r_strahler,
             "r_twi": _r_twi,
             "r_stream_links": _r_stream_links,
+            "r_basin_stats": _r_basin_stats,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,

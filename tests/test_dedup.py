@@ -181,6 +181,33 @@ def test_dedup_clusters_matches_union_find(spark):
     assert got == {i: (want_label[i], want_size[i]) for i in ids}
 
 
+def test_dedup_clusters_long_chain_no_plan_explosion(spark):
+    """Regression: a 1500-node path graph needs ~11 pointer-jumping
+    rounds. Before the per-round localCheckpoint, each round's self-join
+    DOUBLED the logical plan (cache() never truncates lineage), freezing
+    the driver in analyzer/generateTreeString work around round ~10 —
+    this test hung for minutes and blew the heap. With the fix it
+    converges in seconds; correctness: every node labeled 0, one cluster
+    of 1500."""
+    import time
+
+    from pycuda_raster_spark.operators.dedup import dedup_clusters
+
+    n = 1500
+    corpus = spark.range(n).withColumnRenamed("id", "doc_id")
+    pairs = (spark.range(n - 1)
+             .select(F.col("id").alias("id_a"),
+                     (F.col("id") + 1).alias("id_b")))
+    t0 = time.time()
+    got = dedup_clusters(pairs, corpus, max_iterations=25).collect()
+    elapsed = time.time() - t0
+    assert len(got) == n
+    assert all(r.cluster_id == 0 and r.cluster_size == n for r in got)
+    # generous even for a throttled host; the pre-fix behavior was
+    # minutes-to-hang, so this bound still catches a reintroduction
+    assert elapsed < 300, f"CC loop took {elapsed:.0f}s — plan explosion?"
+
+
 def test_contamination_check_brute_force(spark):
     """13-gram train/eval overlap vs a Python brute force, incl. the
     short-document whole-text fallback and the broadcast plan."""

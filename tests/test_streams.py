@@ -472,6 +472,60 @@ def test_stream_links_hand_junction():
     assert links[(0, 5)][1] == (0, 5) and links[(1, 5)][1] == (0, 5)
 
 
+# ------------------------------------------------------------ basin stats
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_basin_stats_fold_vs_brute(spark, images_df, tile_rows):
+    """sum_mode="fold" == brute exactly: basins twin labels + per-basin
+    count/min/max and a sequential (r, c)-order double fold (boolean
+    indexing returns row-major == (r, c) order); the mean is one float
+    division of the identical operands."""
+    from pycuda_raster_spark.operators.hydro import basin_stats, basins_grid
+
+    dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tile_rows),
+                             keep_px=True)
+    rows = basin_stats(dirs_df, sum_mode="fold").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.image_id, {})[r.basin] = (
+            r.n_cells, r.min_elev, r.max_elev, r.sum_elev, r.mean_elev)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        g = _decoded(i)
+        lab = basins_grid(flow_dir(g))
+        want = {}
+        for b in np.unique(lab[lab >= 0]):
+            vals = g[lab == b].astype(np.float64)
+            s = 0.0
+            for v in vals:
+                s += float(v)
+            want[int(b)] = (len(vals), float(vals.min()), float(vals.max()),
+                            s, s / float(len(vals)))
+        assert got.get(iid, {}) == want, f"{iid} tr={tile_rows}"
+
+
+def test_basin_stats_decimal_partition_invariant(spark, images_df):
+    """The decimal scale path is bit-identical across tile heights
+    (decimal addition is exact and order-independent) and within 1e-6
+    of the fold sum."""
+    from pycuda_raster_spark.operators.hydro import basin_stats
+
+    def run(tr, mode):
+        dirs_df = flow_dir_tiles(decode_tiles(images_df, tile_rows=tr),
+                                 keep_px=True)
+        return {(r.image_id, r.basin): (r.n_cells, r.sum_elev, r.mean_elev)
+                for r in basin_stats(dirs_df, sum_mode=mode).collect()}
+
+    a, b = run(8, "decimal"), run(32, "decimal")
+    assert a == b
+    f = run(8, "fold")
+    assert a.keys() == f.keys()
+    for k, (n, s, m) in a.items():
+        fn, fs, fm = f[k]
+        assert n == fn and abs(s - fs) < 1e-6 and abs(m - fm) < 1e-6
+
+
 def test_cli_streams(spark, images_df, tmp_path):
     from pycuda_raster_spark.__main__ import main
 
