@@ -1253,6 +1253,25 @@ def _r_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basin_stats(dirs, sum_mode="fold")
 
 
+def _r_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flood-fill lake extent (GRASS r.lake parity): per image, the
+    4-connected region of cells with elevation <= 120 containing seed
+    cell (16, 16), emitted as (r, c, depth). Membership is pure integer
+    graph work (the oracle replays it as a recursive closure from the
+    seed over the thresholded mask); depth = one double subtraction +
+    float32 cast — bit-replayable. Dry-seed images emit no rows in both
+    engines. Engine side: operators/vectorize.lake_tiles (two-level
+    band CC, pixels never shuffle)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.vectorize import lake_tiles
+
+    images, _, _ = _corpus(spark)
+    out = lake_tiles(decode_tiles(images, tile_rows=8), (16, 16), 120.0)
+    proj = _flow_pos_cols(out, "lake", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").alias("depth"))
+
+
 def _r_stream_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-link extraction (GRASS r.stream.extract / ArcGIS Stream
     Link parity): channel cells = dir-valid cells whose weakly-upstream
@@ -2289,6 +2308,32 @@ def _corpus_oracles() -> dict[str, str]:
         LEFT JOIN n ON n.image_id = d.image_id AND n.r = d.r
                        AND n.c = d.c
         JOIN {images} i ON i.image_id = d.image_id
+    """
+
+    # lake flood fill: recursive closure from the seed over the
+    # 4-connected thresholded mask (pure integers); depth = one double
+    # subtraction + float32 cast, identical operand order both engines.
+    # 120 and -9999 are integer literals (exact in any numeric type).
+    lake_sql = f"""
+        WITH RECURSIVE mk AS MATERIALIZED (
+            SELECT image_id, r, c, CAST(val AS DOUBLE) AS v
+            FROM {pixels}
+            WHERE val <> {nd}
+              AND CAST(val AS DOUBLE) <= CAST(120 AS DOUBLE)
+        ),
+        fill AS (
+            SELECT image_id, r, c FROM mk WHERE r = 16 AND c = 16
+            UNION
+            SELECT m.image_id, m.r, m.c
+            FROM fill f JOIN mk m
+              ON m.image_id = f.image_id
+             AND ((m.r = f.r AND (m.c = f.c + 1 OR m.c = f.c - 1))
+                  OR (m.c = f.c AND (m.r = f.r + 1 OR m.r = f.r - 1)))
+        )
+        SELECT f.image_id, CAST(f.r AS INT) AS r, CAST(f.c AS INT) AS c,
+               CAST(CAST(120 AS DOUBLE) - m.v AS FLOAT) AS depth
+        FROM fill f JOIN mk m
+          ON m.image_id = f.image_id AND m.r = f.r AND m.c = f.c
     """
 
     # stream links: channel cells (acc + 1 >= 12) cut at junctions
@@ -3592,6 +3637,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_twi": twi_sql,
         "r_stream_links": stream_links,
         "r_basin_stats": basin_stats_sql,
+        "r_lake": lake_sql,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3797,6 +3843,9 @@ CONTRACT_ORDER = [
     # --- basins labels evidenced in-window by r_basins, the zonal
     # --- machinery by r_flagship_zonal ----------------------------------
     "r_basin_stats",
+    # --- lake flood fill (r5): the CC machinery evidenced in-window by
+    # --- r_polygonize/q_dedup_clusters ----------------------------------
+    "r_lake",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3855,6 +3904,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_twi": _r_twi,
             "r_stream_links": _r_stream_links,
             "r_basin_stats": _r_basin_stats,
+            "r_lake": _r_lake,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,

@@ -83,6 +83,12 @@ terrain; MD = max distance in cells (gdal_viewshed -md; bands beyond it
 are pruned before the shuffle). FUNC "viewshed" writes the per-tile
 visibility table. Mutually exclusive with the other modes.
 
+--lake=R,C,LEVEL (GRASS r.lake, r5): flood-fill lake extent — the
+4-connected region of cells with elevation <= LEVEL containing seed
+cell (R,C); FUNC "lake" writes per-tile DEPTH tables (level -
+elevation inside the lake, NODATA outside). Mutually exclusive with
+the other modes.
+
 --streams=THRESHOLD (GRASS r.stream.extract / ArcGIS Stream Link, r5):
 channel cells = cells whose weakly-upstream count (flow_accum + 1) >=
 THRESHOLD; the channel graph is cut at junctions and labeled into
@@ -131,13 +137,14 @@ def main(argv: list[str]) -> int:
     sieve = opts.get("sieve")
     viewshed = opts.get("viewshed")
     streams = opts.get("streams")
+    lake = opts.get("lake")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity, fillnodata, sieve, viewshed, streams)
+             contour, proximity, fillnodata, sieve, viewshed, streams, lake)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
-              "--fillnodata / --sieve / --viewshed / --streams are "
-              "mutually exclusive")
+              "--fillnodata / --sieve / --viewshed / --streams / --lake "
+              "are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
@@ -146,6 +153,7 @@ def main(argv: list[str]) -> int:
                else ("sieve", "sieve_regions") if sieve
                else ("viewshed",) if viewshed
                else ("streams",) if streams
+               else ("lake",) if lake
                else ALL_PRODUCTS
                + ("flow_accum", "shreve", "strahler", "basins", "twi",
                   "curv_profile", "curv_plan")
@@ -299,6 +307,18 @@ def main(argv: list[str]) -> int:
                    else sieve_tiles(tiles, thr))
             res.write.mode("overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
+        return 0
+    if lake:
+        # --lake=R,C,LEVEL: flood-fill lake depth tiles
+        from .operators.decode import decode_tiles
+        from .operators.vectorize import lake_tiles
+
+        parts = lake.split(",")
+        lk = lake_tiles(decode_tiles(images, tile_rows=tile_rows),
+                        (int(parts[0]), int(parts[1])), float(parts[2]))
+        for out, func in pairs:
+            lk.write.mode("overwrite").parquet(out)
+            print(f"wrote lake tiles -> {out}")
         return 0
     if streams:
         # --streams=THRESHOLD: stream-link extraction (sparse table)

@@ -310,3 +310,186 @@ def region_rings(
                              "ring": [pts]})
 
     return j.groupBy("image_id", "label").applyInPandas(trace, schema=schema)
+
+
+# --------------------------------------------------------------- r.lake
+
+
+LAKE_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, "
+    "lake array<float>"
+)
+
+
+def lake_grid(
+    grid: np.ndarray,
+    seed: tuple[int, int],
+    level: float,
+    nodata: float = NODATA,
+) -> np.ndarray:
+    """Whole-grid twin of ``lake_tiles``: BFS flood fill from ``seed``
+    over 4-connected cells with value <= ``level``; output is the lake
+    DEPTH (float32 of level - value) inside the lake, NODATA outside.
+    A dry/invalid/out-of-grid seed yields an all-NODATA grid."""
+    nd32 = np.float32(nodata)
+    th, w = grid.shape
+    out = np.full((th, w), nd32, dtype=np.float32)
+    sr, sc = int(seed[0]), int(seed[1])
+    lvl = float(level)
+    mask = (grid != nd32) & (grid.astype(np.float64) <= lvl)
+    if not (0 <= sr < th and 0 <= sc < w and mask[sr, sc]):
+        return out
+    seen = np.zeros((th, w), dtype=bool)
+    seen[sr, sc] = True
+    stack = [(sr, sc)]
+    while stack:
+        r, c = stack.pop()
+        for dr, dc in ((1, 0), (-1, 0), (0, 1), (0, -1)):
+            nr, nc = r + dr, c + dc
+            if (0 <= nr < th and 0 <= nc < w and mask[nr, nc]
+                    and not seen[nr, nc]):
+                seen[nr, nc] = True
+                stack.append((nr, nc))
+    out[seen] = (lvl - grid[seen].astype(np.float64)).astype(np.float32)
+    return out
+
+
+def lake_tiles(
+    tiles: DataFrame,
+    seed: tuple[int, int],
+    level: float,
+    value_col: str = "px",
+    nodata: float = NODATA,
+    pinned: bool = True,
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Flood fill / lake extent (GRASS r.lake parity): per image, the
+    4-connected region of cells with value <= ``level`` containing the
+    GLOBAL seed cell ``(seed_r, seed_c)``, emitted as a tiles-shaped
+    DEPTH product (float32 of level - elevation inside the lake, NODATA
+    outside — images whose seed is dry/invalid emit all-NODATA tiles).
+    Depth is one double subtraction + float32 cast, bit-replayable
+    cross-engine; membership is pure integer graph work.
+
+    Two-level band algorithm (the polygonize machinery re-seeded):
+    pass 1 labels the thresholded mask band-locally (vectorized
+    label-equivalence CC) and emits SLIM rows only — one row per local
+    region, band-face seam rows, and the seed's local key;
+    ``dedup_clusters`` resolves cross-band equivalence over the
+    edge-sized label graph; the lake's local-region keys per image
+    (region-count-sized) broadcast back into pass 2, which re-runs the
+    band-local labeling and paints depth. Pixels never shuffle."""
+    from .dedup import dedup_clusters
+
+    geo = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+           "x0", "y0", "crs"]
+    t = tiles.select(*geo, F.col(value_col).alias("__v"))
+    if pinned:
+        t = t.localCheckpoint(eager=True)
+    nd = float(nodata)
+    lvl = float(level)
+    sr, sc = int(seed[0]), int(seed[1])
+
+    def classify(vals: np.ndarray) -> np.ndarray:
+        mask = ((vals != np.float32(nd))
+                & (vals.astype(np.float64) <= lvl))
+        return np.where(mask, np.float32(1.0), np.float32(nd))
+
+    def p1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k: [] for k in ("image_id", "kind", "gkey", "r", "c")}
+
+            def emit(iid, kind, gkey, r=0, c=0):
+                rows["image_id"].append(iid)
+                rows["kind"].append(int(kind))
+                rows["gkey"].append(int(gkey))
+                rows["r"].append(int(r))
+                rows["c"].append(int(c))
+
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0 = int(pdf["ty0"].iat[i])
+                iid = pdf["image_id"].iat[i]
+                vals = np.asarray(
+                    pdf["__v"].iat[i], dtype=np.float32).reshape(th, w)
+                lab = label_grid(classify(vals), nd)
+
+                def gk(root):
+                    return (root // w + ty0) * w + root % w
+
+                for root in np.unique(lab[lab >= 0]):
+                    emit(iid, 0, gk(root))
+                for lr, kind in ((0, 2), (th - 1, 1)):
+                    for col in range(w):
+                        root = lab[lr, col]
+                        if root >= 0:
+                            emit(iid, kind, gk(root), r=ty0 + lr, c=col)
+                if ty0 <= sr < ty0 + th and 0 <= sc < w:
+                    root = lab[sr - ty0, sc]
+                    if root >= 0:
+                        emit(iid, 3, gk(root))
+            yield pd.DataFrame(rows)
+
+    p1o = t.mapInPandas(
+        p1, schema="image_id string, kind int, gkey long, r long, c long"
+    ).localCheckpoint(eager=True)
+    pad = lambda img, g: F.format_string("%s:%012d", img, g)  # noqa: E731
+    bot = p1o.filter(F.col("kind") == 1).select("image_id", "gkey", "r", "c")
+    top = p1o.filter(F.col("kind") == 2).select(
+        F.col("image_id").alias("i2"), F.col("gkey").alias("g2"),
+        F.col("r").alias("r2"), F.col("c").alias("c2"))
+    edges = (bot.join(
+        top, (F.col("image_id") == F.col("i2"))
+        & (F.col("r2") == F.col("r") + 1) & (F.col("c2") == F.col("c")))
+        .select(pad(F.col("image_id"), F.col("gkey")).alias("id_a"),
+                pad(F.col("i2"), F.col("g2")).alias("id_b")).distinct())
+    nodes = p1o.filter(F.col("kind") == 0).select(
+        pad(F.col("image_id"), F.col("gkey")).alias("doc_id"))
+    resolved = dedup_clusters(edges, nodes, id_col="doc_id",
+                              max_iterations=max_iterations)
+    # cluster ids are min member keys -> globally unique (edges never
+    # cross images), so the seed's cluster pins its image's lake
+    seed_lab = (p1o.filter(F.col("kind") == 3)
+                .select(pad(F.col("image_id"), F.col("gkey"))
+                        .alias("doc_id"))
+                .join(resolved, "doc_id")
+                .select(F.col("cluster_id").alias("__lake")))
+    lake_roots = (resolved.join(
+        seed_lab, F.col("cluster_id") == F.col("__lake"))
+        .select(F.split("doc_id", ":").getItem(0).alias("image_id"),
+                F.split("doc_id", ":").getItem(1).cast("long")
+                .alias("gkey")))
+    keysets = (lake_roots.groupBy("image_id")
+               .agg(F.collect_set("gkey").alias("__keys")))
+    j = t.join(F.broadcast(keysets), "image_id", "left")
+
+    def p2(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in ("image_id", "tile_y", "ty0", "th", "w",
+                                   "h", "cellsize", "x0", "y0", "crs",
+                                   "lake")}
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0 = int(pdf["ty0"].iat[i])
+                vals = np.asarray(
+                    pdf["__v"].iat[i], dtype=np.float32).reshape(th, w)
+                depth = np.full(th * w, np.float32(nd), dtype=np.float32)
+                keys = pdf["__keys"].iat[i]
+                if keys is not None and len(keys):
+                    lab = label_grid(classify(vals), nd)
+                    flat = lab.ravel()
+                    ok = flat >= 0
+                    g = (flat[ok] // w + ty0) * w + flat[ok] % w
+                    member = np.isin(
+                        g, np.asarray(list(keys), dtype=np.int64))
+                    idx = np.flatnonzero(ok)[member]
+                    depth[idx] = (lvl - vals.ravel()[idx]
+                                  .astype(np.float64)).astype(np.float32)
+                for col in ("image_id", "tile_y", "ty0", "th", "w", "h",
+                            "cellsize", "x0", "y0", "crs"):
+                    out[col].append(pdf[col].iat[i])
+                out["lake"].append(depth)
+            yield pd.DataFrame(out)
+
+    return j.mapInPandas(p2, schema=LAKE_SCHEMA)

@@ -188,3 +188,96 @@ def test_cli_polygonize(spark, images_df, tmp_path):
     got = {int(r.label): (float(r.val), int(r.n_cells),
                           r.r0, r.r1, r.c0, r.c1) for r in rows}
     assert got == want
+
+
+# ------------------------------------------------------------------ r.lake
+
+
+def test_lake_grid_basin_shape():
+    """Hand-built bowl: seed inside fills the bowl up to the level, the
+    disconnected second depression stays dry, the rim stays dry."""
+    from pycuda_raster_spark.operators.vectorize import lake_grid
+
+    g = np.full((7, 9), 50.0, dtype=np.float32)
+    g[2:5, 1:4] = 10.0            # bowl A
+    g[3, 2] = 5.0                 # deepest point
+    g[2:5, 6:8] = 8.0             # bowl B (disconnected)
+    out = lake_grid(g, (3, 2), 20.0)
+    nd = np.float32(NODATA)
+    want_wet = np.zeros_like(g, dtype=bool)
+    want_wet[2:5, 1:4] = True
+    assert ((out != nd) == want_wet).all()
+    assert out[3, 2] == np.float32(20.0 - 5.0)
+    assert out[2, 1] == np.float32(20.0 - 10.0)
+    # dry seed -> all NODATA
+    assert (lake_grid(g, (0, 0), 20.0) == nd).all()
+    # out-of-grid seed -> all NODATA
+    assert (lake_grid(g, (99, 0), 20.0) == nd).all()
+
+
+def brute_lake(g: np.ndarray, seed, level):
+    """Independent reference: mask + BFS from seed (not lake_grid)."""
+    nd = np.float32(NODATA)
+    th, w = g.shape
+    mask = (g != nd) & (g.astype(np.float64) <= float(level))
+    out = np.full((th, w), nd, dtype=np.float32)
+    sr, sc = seed
+    if not (0 <= sr < th and 0 <= sc < w and mask[sr, sc]):
+        return out
+    from collections import deque
+    seen = {(sr, sc)}
+    q = deque([(sr, sc)])
+    while q:
+        r, c = q.popleft()
+        for nr, nc in ((r + 1, c), (r - 1, c), (r, c + 1), (r, c - 1)):
+            if (0 <= nr < th and 0 <= nc < w and mask[nr, nc]
+                    and (nr, nc) not in seen):
+                seen.add((nr, nc))
+                q.append((nr, nc))
+    for r, c in seen:
+        out[r, c] = np.float32(float(level) - float(g[r, c]))
+    return out
+
+
+@pytest.mark.parametrize("tile_rows", [4, 8, 13, 32])
+def test_lake_tiles_matches_brute(spark, images_df, tile_rows):
+    from pycuda_raster_spark.operators.vectorize import lake_grid, lake_tiles
+
+    seed, level = (16, 16), 128.0
+    out = lake_tiles(decode_tiles(images_df, tile_rows=tile_rows),
+                     seed, level)
+    rows = out.collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r.image_id, []).append(
+            (r.ty0, np.asarray(r.lake, np.float32).reshape(r.th, r.w)))
+    wet_somewhere = 0
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        g = _decoded(i)
+        want = brute_lake(g, seed, level)
+        np.testing.assert_array_equal(want, lake_grid(g, seed, level))
+        parts = sorted(got[iid])
+        full = np.vstack([p for _, p in parts])
+        np.testing.assert_array_equal(full, want,
+                                      err_msg=f"{iid} tr={tile_rows}")
+        wet_somewhere += int((want != np.float32(NODATA)).any())
+    assert wet_somewhere > 0  # the level actually wets some image
+
+
+def test_cli_lake(spark, images_df, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.operators.vectorize import lake_grid
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out = str(tmp_path / "lake")
+    assert main([inp, out, "lake", "--lake=16,16,128",
+                 "--tile-rows=8", "--cores=4"]) == 0
+    rows = (spark.read.parquet(out)
+            .filter(F.col("image_id") == "img000000").collect())
+    rows.sort(key=lambda r: r.ty0)
+    got = np.vstack([np.asarray(r.lake, np.float32).reshape(r.th, r.w)
+                     for r in rows])
+    np.testing.assert_array_equal(
+        got, lake_grid(_decoded(0), (16, 16), 128.0))
