@@ -1253,6 +1253,24 @@ def _r_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basin_stats(dirs, sum_mode="fold")
 
 
+def _r_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transect sampling (GRASS r.profile parity): 30 evenly spaced
+    samples along the cell-space segment (2,1) -> (29,30) of every
+    corpus image. Sample cells are exact integer arithmetic (rational
+    positions snapped with (2*num + S) // (2*S)); dist is
+    sqrt(1570) * cellsize * k / 29 in identical operand order (sqrt of
+    an exact integer is correctly rounded everywhere); values are
+    bit-copies — so the oracle matches value-exactly."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.gridding import profile_tiles
+
+    images, _, _ = _corpus(spark)
+    out = profile_tiles(decode_tiles(images, tile_rows=8), (2, 1), (29, 30))
+    return out.select(
+        "image_id", "step", F.col("r").cast("int").alias("r"),
+        F.col("c").cast("int").alias("c"), "dist", "val")
+
+
 def _r_lake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flood-fill lake extent (GRASS r.lake parity): per image, the
     4-connected region of cells with elevation <= 120 containing seed
@@ -2308,6 +2326,26 @@ def _corpus_oracles() -> dict[str, str]:
         LEFT JOIN n ON n.image_id = d.image_id AND n.r = d.r
                        AND n.c = d.c
         JOIN {images} i ON i.image_id = d.image_id
+    """
+
+    # profile transect: integer rational-snap positions (// on nonneg
+    # operands == floor), dist = correctly-rounded sqrt of an exact
+    # integer * cellsize * k / S in identical order, bit-copy values
+    profile_sql = f"""
+        WITH pts AS (
+            SELECT step,
+                   (2 * (2 * (29 - step) + 29 * step) + 29) // 58 AS r,
+                   (2 * (1 * (29 - step) + 30 * step) + 29) // 58 AS c
+            FROM range(0, 30) t(step)
+        )
+        SELECT p.image_id, CAST(s.step AS BIGINT) AS step,
+               CAST(s.r AS INT) AS r, CAST(s.c AS INT) AS c,
+               sqrt(CAST(1570 AS DOUBLE)) * i.cellsize
+                   * CAST(s.step AS DOUBLE) / CAST(29 AS DOUBLE) AS dist,
+               p.val
+        FROM pts s
+        JOIN {pixels} p ON p.r = s.r AND p.c = s.c
+        JOIN {images} i ON i.image_id = p.image_id
     """
 
     # lake flood fill: recursive closure from the seed over the
@@ -3638,6 +3676,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_stream_links": stream_links,
         "r_basin_stats": basin_stats_sql,
         "r_lake": lake_sql,
+        "r_profile": profile_sql,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3846,6 +3885,9 @@ CONTRACT_ORDER = [
     # --- lake flood fill (r5): the CC machinery evidenced in-window by
     # --- r_polygonize/q_dedup_clusters ----------------------------------
     "r_lake",
+    # --- profile transect (r5): sample_points' broadcast shape,
+    # --- evidenced in-window by r_pip_join/r_viewshed -------------------
+    "r_profile",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3905,6 +3947,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_stream_links": _r_stream_links,
             "r_basin_stats": _r_basin_stats,
             "r_lake": _r_lake,
+            "r_profile": _r_profile,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,

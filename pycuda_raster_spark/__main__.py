@@ -83,6 +83,11 @@ terrain; MD = max distance in cells (gdal_viewshed -md; bands beyond it
 are pruned before the shuffle). FUNC "viewshed" writes the per-tile
 visibility table. Mutually exclusive with the other modes.
 
+--profile=R0,C0,R1,C1 (GRASS r.profile, r5): transect sampling — S+1
+evenly spaced samples along the cell-space segment, S = max(|dr|,|dc|);
+FUNC "profile" writes (image_id, step, r, c, dist, val) rows. Mutually
+exclusive with the other modes.
+
 --lake=R,C,LEVEL (GRASS r.lake, r5): flood-fill lake extent — the
 4-connected region of cells with elevation <= LEVEL containing seed
 cell (R,C); FUNC "lake" writes per-tile DEPTH tables (level -
@@ -138,13 +143,15 @@ def main(argv: list[str]) -> int:
     viewshed = opts.get("viewshed")
     streams = opts.get("streams")
     lake = opts.get("lake")
+    profile = opts.get("profile")
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
-             contour, proximity, fillnodata, sieve, viewshed, streams, lake)
+             contour, proximity, fillnodata, sieve, viewshed, streams, lake,
+             profile)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
-              "--fillnodata / --sieve / --viewshed / --streams / --lake "
-              "are mutually exclusive")
+              "--fillnodata / --sieve / --viewshed / --streams / --lake / "
+              "--profile are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
@@ -154,6 +161,7 @@ def main(argv: list[str]) -> int:
                else ("viewshed",) if viewshed
                else ("streams",) if streams
                else ("lake",) if lake
+               else ("profile",) if profile
                else ALL_PRODUCTS
                + ("flow_accum", "shreve", "strahler", "basins", "twi",
                   "curv_profile", "curv_plan")
@@ -307,6 +315,18 @@ def main(argv: list[str]) -> int:
                    else sieve_tiles(tiles, thr))
             res.write.mode("overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
+        return 0
+    if profile:
+        # --profile=R0,C0,R1,C1: transect sampling rows
+        from .operators.decode import decode_tiles
+        from .operators.gridding import profile_tiles
+
+        a = [int(v) for v in profile.split(",")]
+        prof = profile_tiles(decode_tiles(images, tile_rows=tile_rows),
+                             (a[0], a[1]), (a[2], a[3]))
+        for out, func in pairs:
+            prof.write.mode("overwrite").parquet(out)
+            print(f"wrote profile rows -> {out}")
         return 0
     if lake:
         # --lake=R,C,LEVEL: flood-fill lake depth tiles

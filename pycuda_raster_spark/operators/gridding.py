@@ -187,3 +187,59 @@ def sample_points(
             F.col(value_col),
             ((F.col("r") - F.col("ty0")) * F.col("w") + F.col("c")
              + F.lit(1)).cast("int")).alias("val"))
+
+
+def profile_tiles(
+    tiles: DataFrame,
+    start: tuple[int, int],
+    end: tuple[int, int],
+    value_col: str = "px",
+) -> DataFrame:
+    """Transect sampling (GRASS r.profile / gdallocationinfo along a
+    line): S+1 evenly spaced samples on the cell-space segment from
+    ``start`` = (r0, c0) to ``end`` = (r1, c1) inclusive, with
+    S = max(|dr|, |dc|, 1); each sample snaps to its nearest cell and
+    yields one row per (image, step) whose snapped cell lies inside the
+    image -> (image_id, step, r, c, dist, val).
+
+    Exactness (cross-engine): sample positions are exact rationals
+    (num = a*(S-k) + b*k over denominator S) snapped with pure integer
+    arithmetic r_k = (2*num + S) // (2*S) (round half up — operands are
+    nonnegative); ``dist`` = sqrt(dr^2 + dc^2) (correctly-rounded sqrt
+    of an exact integer) * cellsize * k / S in that operand order; the
+    value is a bit-copy of the input cell.
+
+    Scale shape: the step table is ``spark.range`` + pure Column math,
+    broadcast onto the tiles (sample_points' shape); pixels never
+    shuffle; one ``element_at`` per hit."""
+    r0, c0 = int(start[0]), int(start[1])
+    r1, c1 = int(end[0]), int(end[1])
+    if min(r0, c0, r1, c1) < 0:
+        raise ValueError("profile endpoints must be non-negative cells")
+    S = max(abs(r1 - r0), abs(c1 - c0), 1)
+    spark = tiles.sparkSession
+    steps = spark.range(S + 1).select(F.col("id").alias("step"))
+
+    def snap(a, b):
+        num = (F.lit(a) * (F.lit(S) - F.col("step"))
+               + F.lit(b) * F.col("step"))
+        x = F.lit(2) * num + F.lit(S)
+        d = F.lit(2 * S)
+        return ((x - F.pmod(x, d)) / d).cast("long")
+
+    pts = steps.select("step", snap(r0, r1).alias("r"),
+                       snap(c0, c1).alias("c"))
+    d2 = (r1 - r0) * (r1 - r0) + (c1 - c0) * (c1 - c0)
+    j = (tiles.select("image_id", "ty0", "th", "w", "cellsize", value_col)
+         .join(F.broadcast(pts))
+         .filter((F.col("r") >= F.col("ty0"))
+                 & (F.col("r") < F.col("ty0") + F.col("th"))
+                 & (F.col("c") >= 0) & (F.col("c") < F.col("w"))))
+    dist = (F.sqrt(F.lit(float(d2))) * F.col("cellsize")
+            * F.col("step").cast("double") / F.lit(float(S)))
+    return j.select(
+        "image_id", "step", "r", "c", dist.alias("dist"),
+        F.element_at(
+            F.col(value_col),
+            ((F.col("r") - F.col("ty0")) * F.col("w") + F.col("c")
+             + F.lit(1)).cast("int")).alias("val"))

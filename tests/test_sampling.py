@@ -9,6 +9,7 @@ so every comparison is strict equality.
 import math
 
 import numpy as np
+import pytest
 from pyspark.sql import functions as F
 
 from pycuda_raster_spark.fixtures import (
@@ -181,3 +182,79 @@ def test_zonal_categorical_tie_breaks_to_min_class(spark):
     assert len(r) == 1
     assert (r[0].majority, r[0].majority_n, r[0].variety, r[0].n_px) == (
         0, 32, 2, 64)
+
+
+# -------------------------------------------------------------- r.profile
+
+
+def _brute_profile(rows, grids, cs, a, b):
+    """Independent reference: exact rational positions snapped half-up,
+    sequential dist chain sqrt(d2)*cs*k/S."""
+    r0, c0 = a
+    r1, c1 = b
+    S = max(abs(r1 - r0), abs(c1 - c0), 1)
+    d2 = (r1 - r0) ** 2 + (c1 - c0) ** 2
+    want = {}
+    for row in rows:
+        g = grids[row["image_id"]]
+        h, w = g.shape
+        for k in range(S + 1):
+            rk = (2 * (r0 * (S - k) + r1 * k) + S) // (2 * S)
+            ck = (2 * (c0 * (S - k) + c1 * k) + S) // (2 * S)
+            if 0 <= rk < h and 0 <= ck < w:
+                dist = math.sqrt(float(d2)) * cs * float(k) / float(S)
+                want[(row["image_id"], k)] = (rk, ck, dist,
+                                              np.float32(g[rk, ck]))
+    return want
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_profile_vs_brute(spark, tile_rows):
+    from pycuda_raster_spark.operators.gridding import profile_tiles
+
+    images, rows, grids, cs = _corpus(spark)
+    a, b = (2, 1), (29, 30)
+    out = profile_tiles(decode_tiles(images, tile_rows=tile_rows), a, b)
+    got = {(r.image_id, r.step): (r.r, r.c, r.dist, np.float32(r.val))
+           for r in out.collect()}
+    want = _brute_profile(rows, grids, cs, a, b)
+    assert got == want and len(got) > 0
+
+
+def test_profile_degenerate_and_offgrid(spark):
+    from pycuda_raster_spark.operators.gridding import profile_tiles
+
+    images, rows, grids, cs = _corpus(spark)
+    # single-cell line: S clamps to 1, both samples snap to the seed cell
+    out = profile_tiles(decode_tiles(images, tile_rows=8), (5, 5), (5, 5))
+    got = {(r.image_id, r.step): (r.r, r.c, r.dist) for r in out.collect()}
+    for iid in grids:
+        assert got[(iid, 0)] == (5, 5, 0.0)
+        assert got[(iid, 1)] == (5, 5, 0.0)
+    # line running off the grid: out-of-grid samples are dropped
+    out2 = profile_tiles(decode_tiles(images, tile_rows=8), (30, 30),
+                         (40, 40))
+    rows2 = out2.collect()
+    assert all(r.r < 32 and r.c < 32 for r in rows2)
+    steps_per_img = {}
+    for r in rows2:
+        steps_per_img.setdefault(r.image_id, set()).add(r.step)
+    for iid, st in steps_per_img.items():
+        assert st == {0, 1}  # only (30,30) and (31,31) are in-grid
+    # negative endpoints are rejected
+    with pytest.raises(ValueError):
+        profile_tiles(decode_tiles(images, tile_rows=8), (-1, 0), (5, 5))
+
+
+def test_cli_profile(spark, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+
+    images, rows, grids, cs = _corpus(spark)
+    inp = str(tmp_path / "in.parquet")
+    images.write.parquet(inp)
+    out = str(tmp_path / "prof")
+    assert main([inp, out, "profile", "--profile=2,1,29,30",
+                 "--tile-rows=8", "--cores=4"]) == 0
+    got = {(r.image_id, r.step): (r.r, r.c, r.dist, np.float32(r.val))
+           for r in spark.read.parquet(out).collect()}
+    assert got == _brute_profile(rows, grids, cs, (2, 1), (29, 30))
