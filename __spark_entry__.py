@@ -1253,6 +1253,32 @@ def _r_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basin_stats(dirs, sum_mode="fold")
 
 
+def _r_raster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image value histogram (gdalinfo -hist parity): 16 buckets of
+    width 16 over [0, 256) with edge clamping. One subtraction + one
+    division on identical operands buckets boundary values the same way
+    in both engines; counts are exact integers."""
+    from pycuda_raster_spark.operators.calc import raster_histogram
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    return raster_histogram(decode_tiles(images, tile_rows=8),
+                            bins=16, lo=0.0, hi=256.0)
+
+
+def _r_raster_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image statistics (gdalinfo -stats parity): valid count,
+    min/max bit-copies, mean and population stddev via fixed-(r, c)-
+    order double folds (sum and square-sum), var clamped at 0, one
+    correctly-rounded sqrt — every step replays in DuckDB with
+    identical operand order (the grid_idw fold recipe)."""
+    from pycuda_raster_spark.operators.calc import raster_stats
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    images, _, _ = _corpus(spark)
+    return raster_stats(decode_tiles(images, tile_rows=8))
+
+
 def _r_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Transect sampling (GRASS r.profile parity): 30 evenly spaced
     samples along the cell-space segment (2,1) -> (29,30) of every
@@ -2326,6 +2352,54 @@ def _corpus_oracles() -> dict[str, str]:
         LEFT JOIN n ON n.image_id = d.image_id AND n.r = d.r
                        AND n.c = d.c
         JOIN {images} i ON i.image_id = d.image_id
+    """
+
+    # gdalinfo -hist: one sub + one div on identical operands, integer
+    # clamp, exact counts (width 16.0 is an exact binary fraction)
+    raster_hist = f"""
+        SELECT image_id,
+               least(CAST(15 AS BIGINT),
+                     greatest(CAST(0 AS BIGINT),
+                              CAST(floor((CAST(val AS DOUBLE)
+                                          - CAST(0 AS DOUBLE))
+                                         / CAST(16 AS DOUBLE))
+                                   AS BIGINT))) AS bin,
+               CAST(count(*) AS BIGINT) AS n
+        FROM {pixels} WHERE val <> {nd}
+        GROUP BY image_id, bin
+    """
+
+    # gdalinfo -stats: fixed-order folds for sum and square-sum, then
+    # mean = s/n, var = sq/n - mean*mean clamped at 0, correctly-rounded
+    # sqrt — identical operand order to the engine
+    raster_stats_sql = f"""
+        WITH agg AS (
+            SELECT image_id,
+                   CAST(count(*) AS BIGINT) AS n_valid,
+                   min(CAST(val AS DOUBLE)) AS vmin,
+                   max(CAST(val AS DOUBLE)) AS vmax,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(CAST(val AS DOUBLE)
+                                         ORDER BY r, c)),
+                       (a, b) -> a + b) AS s,
+                   list_reduce(
+                       list_prepend(CAST(0 AS DOUBLE),
+                                    list(CAST(val AS DOUBLE)
+                                         * CAST(val AS DOUBLE)
+                                         ORDER BY r, c)),
+                       (a, b) -> a + b) AS sq
+            FROM {pixels} WHERE val <> {nd}
+            GROUP BY image_id
+        )
+        SELECT image_id, n_valid, vmin, vmax,
+               s / CAST(n_valid AS DOUBLE) AS mean,
+               sqrt(greatest(CAST(0 AS DOUBLE),
+                             sq / CAST(n_valid AS DOUBLE)
+                             - (s / CAST(n_valid AS DOUBLE))
+                               * (s / CAST(n_valid AS DOUBLE))))
+                   AS stddev
+        FROM agg
     """
 
     # profile transect: integer rational-snap positions (// on nonneg
@@ -3677,6 +3751,8 @@ def _corpus_oracles() -> dict[str, str]:
         "r_basin_stats": basin_stats_sql,
         "r_lake": lake_sql,
         "r_profile": profile_sql,
+        "r_raster_hist": raster_hist,
+        "r_raster_stats": raster_stats_sql,
         "r_proximity": proximity,
         "r_fillnodata": fillnodata,
         "r_polygonize": polygonize,
@@ -3888,6 +3964,9 @@ CONTRACT_ORDER = [
     # --- profile transect (r5): sample_points' broadcast shape,
     # --- evidenced in-window by r_pip_join/r_viewshed -------------------
     "r_profile",
+    # --- gdalinfo -hist/-stats (r5): in-stage aggregate + fold recipe,
+    # --- evidenced in-window by q_histogram's row / r_focal_slope -------
+    "r_raster_hist", "r_raster_stats",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -3948,6 +4027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_basin_stats": _r_basin_stats,
             "r_lake": _r_lake,
             "r_profile": _r_profile,
+            "r_raster_hist": _r_raster_hist,
+            "r_raster_stats": _r_raster_stats,
             "r_proximity": _r_proximity,
             "r_fillnodata": _r_fillnodata,
             "r_polygonize": _r_polygonize,

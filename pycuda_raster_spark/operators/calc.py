@@ -249,3 +249,81 @@ def scale_tiles(
         .drop("__lo", "__hi", "__scale")
     )
     return out
+
+
+def raster_histogram(
+    tiles: DataFrame,
+    bins: int = 16,
+    lo: float = 0.0,
+    hi: float = 256.0,
+    value_col: str = "px",
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Per-image value histogram (gdalinfo -hist parity): fixed-width
+    buckets over [lo, hi) with out-of-range values clamped into the edge
+    buckets -> (image_id, bin, n). Bucket rule (shared verbatim with the
+    DuckDB oracle): bin = clamp(floor((v - lo) / width), 0, bins-1) with
+    width = (hi - lo) / bins computed ONCE driver-side — one subtraction
+    + one division on identical operands, so boundary values bucket the
+    same way in both engines; counts are exact integers.
+
+    Scale shape: the explode feeds the hash aggregate inside the scan
+    stage (map-side combine) — the shuffle carries one row per
+    (image, bin), never pixels."""
+    width = (float(hi) - float(lo)) / float(bins)
+    nd = F.lit(float(nodata)).cast("float")
+    z = (tiles.select("image_id", F.explode(value_col).alias("v"))
+         .filter(F.col("v") != nd))
+    b = F.least(
+        F.lit(int(bins) - 1),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.floor((F.col("v").cast("double") - F.lit(float(lo)))
+                    / F.lit(width)).cast("long")))
+    return (z.select("image_id", b.alias("bin"))
+            .groupBy("image_id", "bin")
+            .agg(F.count(F.lit(1)).cast("long").alias("n")))
+
+
+def raster_stats(
+    tiles: DataFrame,
+    value_col: str = "px",
+    nodata: float = NODATA,
+) -> DataFrame:
+    """Per-image statistics (gdalinfo -stats parity): valid count,
+    min/max (bit-copies), mean and population stddev ->
+    (image_id, n_valid, vmin, vmax, mean, stddev).
+
+    Cross-engine exactness: the value sum and square sum are fixed
+    (r, c)-order double folds (x*x written as multiplication, never
+    pow), mean = s/n, var = sq/n - mean*mean clamped at 0 (rounding can
+    push a constant grid's variance a hair negative), stddev =
+    correctly-rounded sqrt — every step replays in DuckDB with identical
+    operand order. The per-image fold collects each image's valid cells
+    into one row: the ORACLE CONFIGURATION (at scale, switch the folds
+    for decimal partials as basin_stats does and accept last-digit
+    cross-engine drift)."""
+    nd = F.lit(float(nodata)).cast("float")
+    z = (tiles.select(
+        "image_id", "ty0", "w",
+        F.posexplode(value_col).alias("pos", "v"))
+        .filter(F.col("v") != nd)
+        .select(
+            "image_id",
+            (F.col("ty0") + ((F.col("pos") - F.pmod("pos", F.col("w")))
+                             / F.col("w"))).cast("long").alias("r"),
+            F.pmod("pos", F.col("w")).cast("long").alias("c"),
+            F.col("v").cast("double").alias("v")))
+    ordered = F.sort_array(F.collect_list(F.struct("r", "c", "v")))
+    s = F.aggregate(ordered, F.lit(0.0), lambda a, t: a + t["v"])
+    sq = F.aggregate(ordered, F.lit(0.0),
+                     lambda a, t: a + t["v"] * t["v"])
+    agg = z.groupBy("image_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_valid"),
+        F.min("v").alias("vmin"), F.max("v").alias("vmax"),
+        s.alias("__s"), sq.alias("__sq"))
+    n = F.col("n_valid").cast("double")
+    mean = F.col("__s") / n
+    var = F.greatest(F.lit(0.0), F.col("__sq") / n - mean * mean)
+    return agg.select("image_id", "n_valid", "vmin", "vmax",
+                      mean.alias("mean"), F.sqrt(var).alias("stddev"))

@@ -230,3 +230,73 @@ def test_crop_fully_off_grid_raises(spark, images_df):
     out = crop_tiles(decode_tiles(images_df, tile_rows=8), 100, 0, 5, 5)
     with pytest.raises(Exception, match="exceeds the raster extent|ASSERT"):
         out.collect()
+
+
+# ------------------------------------------------- gdalinfo -hist / -stats
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 40])
+def test_raster_histogram_vs_brute(spark, images_df, tile_rows):
+    from pycuda_raster_spark.operators.calc import raster_histogram
+
+    spec = CorpusSpec(n_images=6, w=48, h=40, nodata_every=3)
+    bins, lo, hi = 16, 0.0, 256.0
+    width = (hi - lo) / bins
+    out = raster_histogram(decode_tiles(images_df, tile_rows=tile_rows),
+                           bins=bins, lo=lo, hi=hi)
+    got = {(r.image_id, r.bin): r.n for r in out.collect()}
+    want = {}
+    for i in range(spec.n_images):
+        g = _decoded(i, spec)
+        v = g[g != np.float32(NODATA)].astype(np.float64)
+        b = np.clip(np.floor((v - lo) / width).astype(np.int64), 0,
+                    bins - 1)
+        for bb, n in zip(*np.unique(b, return_counts=True)):
+            want[(f"img{i:06d}", int(bb))] = int(n)
+    assert got == want and len(got) > 0
+
+
+@pytest.mark.parametrize("tile_rows", [8, 40])
+def test_raster_stats_vs_brute(spark, images_df, tile_rows):
+    """Exact equality including mean/stddev: the engine folds in (r, c)
+    order, which for a whole image is plain row-major order — the brute
+    replays the identical sequential double chain."""
+    import math
+
+    from pycuda_raster_spark.operators.calc import raster_stats
+
+    spec = CorpusSpec(n_images=6, w=48, h=40, nodata_every=3)
+    out = raster_stats(decode_tiles(images_df, tile_rows=tile_rows))
+    got = {r.image_id: (r.n_valid, r.vmin, r.vmax, r.mean, r.stddev)
+           for r in out.collect()}
+    for i in range(spec.n_images):
+        g = _decoded(i, spec)
+        vals = g[g != np.float32(NODATA)].astype(np.float64)
+        s = 0.0
+        sq = 0.0
+        for v in vals:
+            s += float(v)
+            sq += float(v) * float(v)
+        n = float(len(vals))
+        mean = s / n
+        var = max(0.0, sq / n - mean * mean)
+        want = (len(vals), float(vals.min()), float(vals.max()),
+                mean, math.sqrt(var))
+        assert got[f"img{i:06d}"] == want, f"img{i} tr={tile_rows}"
+
+
+def test_raster_stats_constant_grid_zero_stddev(spark):
+    """A constant grid's variance rounds to exactly 0 through the clamp."""
+    from pycuda_raster_spark.operators.calc import raster_stats
+    from pycuda_raster_spark.fixtures import IMAGES_DDL
+    from pycuda_raster_spark.functions import codecs
+
+    g = np.full((16, 16), 7.25, dtype=np.float32)
+    row = {"image_id": "const", "bytes": bytearray(codecs.encode(g, "raw")),
+           "w": 16, "h": 16, "fmt": "raw", "caption": "", "phash": 0}
+    df = spark.createDataFrame([row])
+    out = raster_stats(decode_tiles(df, tile_rows=8)).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.n_valid, r.vmin, r.vmax, r.mean, r.stddev) == (
+        256, 7.25, 7.25, 7.25, 0.0)
