@@ -1253,6 +1253,26 @@ def _r_basin_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return basin_stats(dirs, sum_mode="fold")
 
 
+def _r_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Depression filling (ArcGIS Fill / Planchon-Darboux): every valid
+    cell's filled elevation = min over 8-connected paths to a drain of
+    the path's max elevation (drain = image-edge or NODATA-adjacent
+    cell). Every output is a bit-copy of SOME input elevation (max/min
+    over float bit-copies), so the DuckDB oracle — a recursive
+    (cell, spill) closure from the drains taking greatest() along edges
+    then MIN per cell — matches value-exactly. Engine side: iterated
+    band-local Planchon-Darboux fixpoints + slim W halo exchange
+    (operators/hydro.fill_sinks_tiles)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.hydro import fill_sinks_tiles
+
+    images, _, _ = _corpus(spark)
+    out = fill_sinks_tiles(decode_tiles(images, tile_rows=8))
+    proj = _flow_pos_cols(out, "filled", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").alias("filled"))
+
+
 def _r_raster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image value histogram (gdalinfo -hist parity): 16 buckets of
     width 16 over [0, 256) with edge clamping. One subtraction + one
@@ -2352,6 +2372,47 @@ def _corpus_oracles() -> dict[str, str]:
         LEFT JOIN n ON n.image_id = d.image_id AND n.r = d.r
                        AND n.c = d.c
         JOIN {images} i ON i.image_id = d.image_id
+    """
+
+    # depression filling: minimax spill closure — (cell, spill) pairs
+    # grown from the drains with greatest(dem, spill) along 8-edges
+    # (UNION dedups; spills live in the finite dem-value set so the
+    # closure terminates), filled = MIN spill per cell. All values are
+    # float bit-copies; drains via a join, not correlated EXISTS
+    # (CLAUDE.md DuckDB lambda gotcha).
+    fill_sql = f"""
+        WITH RECURSIVE mk AS MATERIALIZED (
+            SELECT image_id, r, c, CAST(val AS DOUBLE) AS v
+            FROM {pixels} WHERE val <> {nd}
+        ),
+        holes AS (
+            SELECT DISTINCT m.image_id, m.r, m.c
+            FROM mk m JOIN {pixels} p
+              ON p.image_id = m.image_id
+             AND abs(p.r - m.r) <= 1 AND abs(p.c - m.c) <= 1
+             AND NOT (p.r = m.r AND p.c = m.c)
+             AND p.val = {nd}
+        ),
+        dr AS MATERIALIZED (
+            SELECT image_id, r, c FROM mk
+            WHERE r = 0 OR r = 31 OR c = 0 OR c = 31
+            UNION
+            SELECT image_id, r, c FROM holes
+        ),
+        sp AS (
+            SELECT m.image_id, m.r, m.c, m.v AS s
+            FROM dr d JOIN mk m
+              ON m.image_id = d.image_id AND m.r = d.r AND m.c = d.c
+            UNION
+            SELECT m.image_id, m.r, m.c, greatest(m.v, p.s) AS s
+            FROM sp p JOIN mk m
+              ON m.image_id = p.image_id
+             AND abs(m.r - p.r) <= 1 AND abs(m.c - p.c) <= 1
+             AND NOT (m.r = p.r AND m.c = p.c)
+        )
+        SELECT image_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
+               CAST(min(s) AS FLOAT) AS filled
+        FROM sp GROUP BY image_id, r, c
     """
 
     # gdalinfo -hist: one sub + one div on identical operands, integer
@@ -3751,6 +3812,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_basin_stats": basin_stats_sql,
         "r_lake": lake_sql,
         "r_profile": profile_sql,
+        "r_fill": fill_sql,
         "r_raster_hist": raster_hist,
         "r_raster_stats": raster_stats_sql,
         "r_proximity": proximity,
@@ -3967,6 +4029,9 @@ CONTRACT_ORDER = [
     # --- gdalinfo -hist/-stats (r5): in-stage aggregate + fold recipe,
     # --- evidenced in-window by q_histogram's row / r_focal_slope -------
     "r_raster_hist", "r_raster_stats",
+    # --- depression filling (r5): iterated band fixpoints; the band
+    # --- machinery evidenced in-window by r_flow_accum/r_proximity ------
+    "r_fill",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -4027,6 +4092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_basin_stats": _r_basin_stats,
             "r_lake": _r_lake,
             "r_profile": _r_profile,
+            "r_fill": _r_fill,
             "r_raster_hist": _r_raster_hist,
             "r_raster_stats": _r_raster_stats,
             "r_proximity": _r_proximity,

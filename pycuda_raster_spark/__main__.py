@@ -83,6 +83,11 @@ terrain; MD = max distance in cells (gdal_viewshed -md; bands beyond it
 are pruned before the shuffle). FUNC "viewshed" writes the per-tile
 visibility table. Mutually exclusive with the other modes.
 
+--fill (ArcGIS Fill / GRASS r.fill.dir, r5): depression filling
+(Planchon-Darboux spill elevations) — the hydrology preprocessing
+step; FUNC "fill" writes per-tile filled-elevation tables. Mutually
+exclusive with the other modes.
+
 --profile=R0,C0,R1,C1 (GRASS r.profile, r5): transect sampling — S+1
 evenly spaced samples along the cell-space segment, S = max(|dr|,|dc|);
 FUNC "profile" writes (image_id, step, r, c, dist, val) rows. Mutually
@@ -144,14 +149,15 @@ def main(argv: list[str]) -> int:
     streams = opts.get("streams")
     lake = opts.get("lake")
     profile = opts.get("profile")
+    fill = "fill" in [a.lstrip("-") for a in argv if a.startswith("--")]
     modes = (resample, warp, mosaic, crop, reproject, overviews, polygonize,
              contour, proximity, fillnodata, sieve, viewshed, streams, lake,
-             profile)
+             profile, fill)
     if sum(bool(m) for m in modes) > 1:
         print("--resample / --warp / --mosaic / --crop / --reproject / "
               "--overviews / --polygonize / --contour / --proximity / "
               "--fillnodata / --sieve / --viewshed / --streams / --lake / "
-              "--profile are mutually exclusive")
+              "--profile / --fill are mutually exclusive")
         return 2
     allowed = (("regions", "rings") if polygonize
                else ("segments", "lines") if contour
@@ -162,6 +168,7 @@ def main(argv: list[str]) -> int:
                else ("streams",) if streams
                else ("lake",) if lake
                else ("profile",) if profile
+               else ("fill",) if fill
                else ALL_PRODUCTS
                + ("flow_accum", "shreve", "strahler", "basins", "twi",
                   "curv_profile", "curv_plan")
@@ -315,6 +322,16 @@ def main(argv: list[str]) -> int:
                    else sieve_tiles(tiles, thr))
             res.write.mode("overwrite").parquet(out)
             print(f"wrote {func} -> {out}")
+        return 0
+    if fill:
+        # --fill: Planchon-Darboux depression filling
+        from .operators.decode import decode_tiles
+        from .operators.hydro import fill_sinks_tiles
+
+        fl = fill_sinks_tiles(decode_tiles(images, tile_rows=tile_rows))
+        for out, func in pairs:
+            fl.write.mode("overwrite").parquet(out)
+            print(f"wrote filled tiles -> {out}")
         return 0
     if profile:
         # --profile=R0,C0,R1,C1: transect sampling rows

@@ -1097,3 +1097,255 @@ def basins_grid(dirs: np.ndarray, nodata: float = NODATA) -> np.ndarray:
     lab = lab.astype(np.int64)
     lab[d == float(nodata)] = -1
     return lab
+
+
+# ----------------------------------------------------- depression filling
+
+
+def _pd_local(dem_ext: np.ndarray, w_ext: np.ndarray,
+              core: slice, nodata: float) -> int:
+    """Planchon-Darboux relaxation of the CORE rows of ``w_ext`` to a
+    local fixpoint, holding the halo rows fixed: W = max(dem, min8(W))
+    for valid non-drain core cells (drains/NODATA must already be final
+    in ``w_ext``). Synchronous Jacobi sweeps — values only decrease and
+    live in the finite dem-value set, so this terminates; each sweep is
+    one vectorized min-of-8 + max. Returns the number of changed cells."""
+    nd32 = np.float32(nodata)
+    valid = dem_ext != nd32
+    inf = np.float32(np.inf)
+    # cells whose W may move: valid core cells currently above their dem
+    changed_total = 0
+    while True:
+        p = np.pad(w_ext, 1, constant_values=inf)
+        m8 = np.minimum.reduce([
+            p[0:-2, 0:-2], p[0:-2, 1:-1], p[0:-2, 2:],
+            p[1:-1, 0:-2], p[1:-1, 2:],
+            p[2:, 0:-2], p[2:, 1:-1], p[2:, 2:]])
+        cand = np.maximum(dem_ext, m8)
+        upd = valid & (cand < w_ext)
+        upd[:core.start if core.start else 0] = False
+        if core.stop is not None:
+            upd[core.stop:] = False
+        n = int(upd.sum())
+        if n == 0:
+            return changed_total
+        w_ext[upd] = cand[upd]
+        changed_total += n
+
+
+def fill_sinks_grid(
+    grid: np.ndarray,
+    nodata: float = NODATA,
+) -> np.ndarray:
+    """Whole-grid twin of ``fill_sinks_tiles`` (ArcGIS Fill / GRASS
+    r.fill.dir / Planchon-Darboux): every valid cell's filled elevation
+    = min over all 8-connected paths to a DRAIN of the max elevation
+    along the path (its spill elevation) — the greatest fixpoint of
+    W = max(dem, min8(W)) seeded with W = dem at drains. A DRAIN is a
+    valid cell with any off-grid or NODATA 8-neighbor (water exits the
+    grid or falls into a hole). Outputs are bit-copies of input values;
+    NODATA passes through."""
+    nd32 = np.float32(nodata)
+    th, w = grid.shape
+    valid = grid != nd32
+    inf = np.float32(np.inf)
+    vp = np.pad(valid, 1, constant_values=False)
+    nbr_all_valid = np.logical_and.reduce([
+        vp[0:-2, 0:-2], vp[0:-2, 1:-1], vp[0:-2, 2:],
+        vp[1:-1, 0:-2], vp[1:-1, 2:],
+        vp[2:, 0:-2], vp[2:, 1:-1], vp[2:, 2:]])
+    edge = np.zeros((th, w), dtype=bool)
+    edge[0, :] = edge[-1, :] = True
+    edge[:, 0] = edge[:, -1] = True
+    drain = valid & (edge | ~nbr_all_valid)
+    w_lev = np.full((th, w), inf, dtype=np.float32)
+    w_lev[drain] = grid[drain]
+    w_lev[~valid] = inf  # excluded from min8 via +inf; restored below
+    _pd_local(grid, w_lev, slice(0, th), nodata)
+    out = w_lev.copy()
+    out[drain] = grid[drain]
+    out[~valid] = nd32
+    return out
+
+
+FILL_SCHEMA = (
+    "image_id string, tile_y int, ty0 int, th int, w int, h int, "
+    "cellsize double, x0 double, y0 double, crs string, "
+    "filled array<float>, wl_first array<float>, wl_last array<float>, "
+    "n_changed long"
+)
+
+
+def fill_sinks_tiles(
+    tiles: DataFrame,
+    value_col: str = "px",
+    nodata: float = NODATA,
+    max_rounds: int = 64,
+    pinned: bool = True,
+) -> DataFrame:
+    """Depression filling (ArcGIS Fill / GRASS r.fill.dir parity, the
+    Planchon-Darboux formulation): the hydrology PREPROCESSING step —
+    D8 flow over an unfilled DEM dead-ends in every pit; fill first,
+    then flow_dir/accumulation give the real drainage network. Input:
+    ``decode_tiles`` output (the dem halos drive exact band-local drain
+    detection). Output: tiles-shaped ``filled`` (bit-copies of input
+    values — every filled level is SOME input cell's elevation; NODATA
+    passes through).
+
+    Distribution — iterated band-local fixpoints + slim halo exchange
+    (a genuinely different shape from the one-shot two-level ops): each
+    round relaxes every band to its local Planchon-Darboux fixpoint
+    holding the neighbors' last-known edge W rows fixed, then exchanges
+    ONLY the first/last W rows (w floats per band) and re-localCheckpoints
+    the state (constant-size plan per round — the dedup_clusters lesson).
+    W decreases monotonically within a finite value set and every round
+    applies a fair update order, so the loop converges to the same
+    greatest fixpoint as the whole-grid iteration (chaotic iteration on
+    a monotone operator); rounds are bounded by cross-band spill
+    alternations (tall tiles at scale: document the zigzag worst case).
+    Convergence is detected with one driver-side SUM per round."""
+    nd = float(nodata)
+    inf = float("inf")
+    state = tiles.select(*_GEO, F.col(value_col).alias("__dem"),
+                         "halo_top", "halo_bot")
+    state = state.withColumn("__wt", F.lit(None).cast("array<float>"))
+    state = state.withColumn("__wb", F.lit(None).cast("array<float>"))
+    state = state.withColumn("filled", F.lit(None).cast("array<float>"))
+    if pinned:
+        state = state.localCheckpoint(eager=True)
+
+    def p1(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "image_id", "tile_y", "ty0", "th", "w", "h", "cellsize",
+                "x0", "y0", "crs", "filled", "wl_first", "wl_last",
+                "n_changed")}
+            nd32 = np.float32(nd)
+            finf = np.float32(inf)
+            for i in range(len(pdf)):
+                th, w = int(pdf["th"].iat[i]), int(pdf["w"].iat[i])
+                ty0, h = int(pdf["ty0"].iat[i]), int(pdf["h"].iat[i])
+                dem = np.asarray(pdf["__dem"].iat[i],
+                                 dtype=np.float32).reshape(th, w)
+                ht = pdf["halo_top"].iat[i]
+                hb = pdf["halo_bot"].iat[i]
+                ht = (None if ht is None
+                      else np.asarray(ht, dtype=np.float32))
+                hb = (None if hb is None
+                      else np.asarray(hb, dtype=np.float32))
+                # dem extended with the real halo rows (off-grid rows
+                # are absent -> band edge IS the image edge)
+                rows = [dem]
+                r_off = 0
+                if ht is not None:
+                    rows.insert(0, ht.reshape(1, w))
+                    r_off = 1
+                if hb is not None:
+                    rows.append(hb.reshape(1, w))
+                dem_ext = np.vstack(rows)
+                valid = dem_ext != nd32
+
+                # drains (core rows only need be exact): image-edge or
+                # any 8-neighbor off-grid/NODATA
+                vp = np.pad(valid, 1, constant_values=False)
+                # off-grid beyond the EXTENDED block is off-image only
+                # when the block touches the image edge; interior band
+                # edges have real halo rows so vp's False padding there
+                # would be wrong — but those padded rows are only
+                # adjacent to HALO rows, never to core rows, so core
+                # drain flags stay exact.
+                nbr_ok = np.logical_and.reduce([
+                    vp[0:-2, 0:-2], vp[0:-2, 1:-1], vp[0:-2, 2:],
+                    vp[1:-1, 0:-2], vp[1:-1, 2:],
+                    vp[2:, 0:-2], vp[2:, 1:-1], vp[2:, 2:]])
+                eth = dem_ext.shape[0]
+                edge = np.zeros((eth, w), dtype=bool)
+                if ty0 == 0:
+                    edge[r_off, :] = True
+                if ty0 + th == h:
+                    edge[r_off + th - 1, :] = True
+                edge[:, 0] = edge[:, -1] = True
+                drain = valid & (edge | ~nbr_ok)
+
+                # W state: previous filled (or fresh), halo W rows from
+                # the neighbors' last round (None -> +inf)
+                prev = pdf["filled"].iat[i]
+                wc = (np.full((th, w), finf, dtype=np.float32)
+                      if prev is None
+                      else np.asarray(prev,
+                                      dtype=np.float32).reshape(th, w))
+                wt = pdf["__wt"].iat[i]
+                wb = pdf["__wb"].iat[i]
+                wrows = [wc]
+                if ht is not None:
+                    wrows.insert(0, (np.full((1, w), finf, np.float32)
+                                     if wt is None
+                                     else np.asarray(wt, np.float32)
+                                     .reshape(1, w)))
+                if hb is not None:
+                    wrows.append((np.full((1, w), finf, np.float32)
+                                  if wb is None
+                                  else np.asarray(wb, np.float32)
+                                  .reshape(1, w)))
+                w_ext = np.vstack(wrows)
+                # seed drains on CORE rows only — halo rows must keep
+                # the neighbors' exchanged W verbatim (the padded
+                # validity test above wrongly flags every halo cell as
+                # a drain; clobbering halo W with raw dem lets core
+                # cells relax BELOW the true fixpoint across seams)
+                core_sl = slice(r_off, r_off + th)
+                dc_ = drain[core_sl]
+                w_ext[core_sl][dc_] = dem_ext[core_sl][dc_]
+                w_ext[~valid] = finf
+                changed = _pd_local(dem_ext, w_ext,
+                                    slice(r_off, r_off + th), nd)
+                wcore = w_ext[r_off:r_off + th]
+                res = wcore.copy()
+                res[dem_ext[r_off:r_off + th] == nd32] = finf
+                for col in ("image_id", "tile_y", "ty0", "th", "w", "h",
+                            "cellsize", "x0", "y0", "crs"):
+                    out[col].append(pdf[col].iat[i])
+                out["filled"].append(res.ravel())
+                out["wl_first"].append(res[0].copy())
+                out["wl_last"].append(res[-1].copy())
+                out["n_changed"].append(int(changed))
+            yield pd.DataFrame(out)
+
+    base = state.select(*_GEO, "__dem", "halo_top", "halo_bot")
+    cur = state
+    for _ in range(max_rounds):
+        stepped = cur.mapInPandas(p1, schema=FILL_SCHEMA)
+        # slim exchange: neighbors' edge W rows become next round's halos
+        edges = stepped.select(
+            "image_id", "tile_y",
+            F.col("wl_first").alias("__f"), F.col("wl_last").alias("__l"))
+        nxt = (base
+               .join(stepped.select("image_id", "tile_y", "filled"),
+                     ["image_id", "tile_y"])
+               .join(edges.select(F.col("image_id").alias("ia"),
+                                  (F.col("tile_y") + 1).alias("ta"),
+                                  F.col("__l").alias("__wt")),
+                     (F.col("image_id") == F.col("ia"))
+                     & (F.col("tile_y") == F.col("ta")), "left")
+               .drop("ia", "ta")
+               .join(edges.select(F.col("image_id").alias("ib"),
+                                  (F.col("tile_y") - 1).alias("tb"),
+                                  F.col("__f").alias("__wb")),
+                     (F.col("image_id") == F.col("ib"))
+                     & (F.col("tile_y") == F.col("tb")), "left")
+               .drop("ib", "tb")
+               .localCheckpoint(eager=True))
+        moved = (stepped.agg(F.sum("n_changed")).collect()[0][0]) or 0
+        cur = nxt
+        if moved == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"fill_sinks_tiles did not converge in {max_rounds} rounds")
+
+    nd_lit = F.lit(nd).cast("float")
+    return cur.select(
+        *_GEO,
+        F.transform("filled", lambda v: F.when(
+            v == F.lit(inf).cast("float"), nd_lit).otherwise(v))
+        .alias("filled"))

@@ -545,3 +545,110 @@ def test_cli_streams(spark, images_df, tmp_path):
         wantk = {rc: (a, f"{iid}:{mk[0]:09d}:{mk[1]:09d}", n)
                  for rc, (a, mk, n) in want.items()}
         assert got.get(iid, {}) == wantk, iid
+
+
+# ----------------------------------------------------- depression filling
+
+
+def brute_fill(g, nd=NODATA):
+    """Independent reference: Dijkstra-style minimax (spill elevation =
+    min over 8-connected paths to a drain of the path's max elevation);
+    drains = valid cells at the image edge or with an invalid/off-grid
+    8-neighbor."""
+    import heapq
+
+    nd32 = np.float32(nd)
+    th, w = g.shape
+    valid = g != nd32
+    dist = np.full((th, w), float("inf"))
+    pq = []
+    for r in range(th):
+        for c in range(w):
+            if not valid[r, c]:
+                continue
+            nbrs = [(r + dr, c + dc) for dr in (-1, 0, 1)
+                    for dc in (-1, 0, 1) if (dr, dc) != (0, 0)]
+            if (r in (0, th - 1) or c in (0, w - 1)
+                    or any(not (0 <= a < th and 0 <= b < w)
+                           or not valid[a, b] for a, b in nbrs)):
+                dist[r, c] = float(g[r, c])
+                heapq.heappush(pq, (dist[r, c], r, c))
+    while pq:
+        d, r, c = heapq.heappop(pq)
+        if d > dist[r, c]:
+            continue
+        for dr in (-1, 0, 1):
+            for dc in (-1, 0, 1):
+                if dr == dc == 0:
+                    continue
+                a, b = r + dr, c + dc
+                if 0 <= a < th and 0 <= b < w and valid[a, b]:
+                    nd_ = max(float(g[a, b]), d)
+                    if nd_ < dist[a, b]:
+                        dist[a, b] = nd_
+                        heapq.heappush(pq, (nd_, a, b))
+    return np.where(valid, dist, nd32).astype(np.float32)
+
+
+def test_fill_grid_vs_dijkstra_minimax():
+    from pycuda_raster_spark.operators.hydro import fill_sinks_grid
+
+    rng = np.random.default_rng(3)
+    for trial in range(6):
+        g = (rng.random((12, 10)) * 100).astype(np.float32)
+        if trial % 2:
+            g[3:5, 2:4] = NODATA  # interior hole -> local drains
+        np.testing.assert_array_equal(fill_sinks_grid(g), brute_fill(g))
+
+
+def test_fill_grid_boundary_breach_and_hole_drain():
+    from pycuda_raster_spark.operators.hydro import fill_sinks_grid
+
+    g = np.full((5, 5), 10.0, dtype=np.float32)
+    g[2, 2] = 1.0
+    g[2, 3] = 5.0
+    g[2, 4] = 5.0  # breach reaches the edge -> pit fills to 5
+    out = fill_sinks_grid(g)
+    assert out[2, 2] == np.float32(5.0) and out[2, 3] == np.float32(5.0)
+    g2 = np.full((5, 5), 10.0, dtype=np.float32)
+    g2[2, 2] = 1.0
+    g2[2, 1] = NODATA  # hole next to the pit -> drains at its own elev
+    out2 = fill_sinks_grid(g2)
+    assert out2[2, 2] == np.float32(1.0)
+    assert out2[2, 1] == np.float32(NODATA)
+
+
+@pytest.mark.parametrize("tile_rows", [2, 8, 13, 32])
+def test_fill_tiled_matches_twin(spark, images_df, tile_rows):
+    """Iterated band fixpoints + halo exchange converge to the same
+    greatest fixpoint as the whole-grid sweep — bit-for-bit, including
+    tile_rows=2 (many cross-band spill alternations)."""
+    from pycuda_raster_spark.operators.hydro import (
+        fill_sinks_grid,
+        fill_sinks_tiles,
+    )
+
+    out = fill_sinks_tiles(decode_tiles(images_df, tile_rows=tile_rows))
+    got = _collect(out, "filled", np.float32)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        np.testing.assert_array_equal(
+            got[iid], fill_sinks_grid(_decoded(i)),
+            err_msg=f"{iid} tr={tile_rows}")
+
+
+def test_cli_fill(spark, images_df, tmp_path):
+    from pycuda_raster_spark.__main__ import main
+    from pycuda_raster_spark.operators.hydro import fill_sinks_grid
+
+    inp = str(tmp_path / "in.parquet")
+    images_df.write.parquet(inp)
+    out = str(tmp_path / "fill")
+    assert main([inp, out, "fill", "--fill", "--tile-rows=8",
+                 "--cores=4"]) == 0
+    rows = (spark.read.parquet(out)
+            .filter(F.col("image_id") == "img000000").collect())
+    rows.sort(key=lambda r: r.ty0)
+    got = np.vstack([np.asarray(r.filled, np.float32).reshape(r.th, r.w)
+                     for r in rows])
+    np.testing.assert_array_equal(got, fill_sinks_grid(_decoded(0)))
