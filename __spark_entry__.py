@@ -1273,6 +1273,25 @@ def _r_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_id", "r", "c", F.col("v").alias("filled"))
 
 
+def _r_fill_accum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed watershed pipeline (ArcGIS Fill -> Flow Direction ->
+    Flow Accumulation): D8 accumulation over the FILLED surface. The
+    oracle chains the r_fill minimax closure into the r_flow_accum
+    machinery — filled values are float bit-copies, the window/dir/
+    closure stages are the already-pinned exact recipes — so the whole
+    three-stage composition is value-exact end-to-end. Engine side:
+    operators/hydro.fill_flow_accum_tiles (band fixpoints -> slim halo
+    re-attach -> two-pass accumulation)."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.hydro import fill_flow_accum_tiles
+
+    images, _, _ = _corpus(spark)
+    out = fill_flow_accum_tiles(decode_tiles(images, tile_rows=8))
+    proj = _flow_pos_cols(out, "flow_accum", "v")
+    return proj.filter(F.col("v") != -9999.0).select(
+        "image_id", "r", "c", F.col("v").cast("long").alias("acc"))
+
+
 def _r_raster_hist(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-image value histogram (gdalinfo -hist parity): 16 buckets of
     width 16 over [0, 256) with edge clamping. One subtraction + one
@@ -2413,6 +2432,84 @@ def _corpus_oracles() -> dict[str, str]:
         SELECT image_id, CAST(r AS INT) AS r, CAST(c AS INT) AS c,
                CAST(min(s) AS FLOAT) AS filled
         FROM sp GROUP BY image_id, r, c
+    """
+
+    # composed watershed pipeline: the r_fill minimax closure feeds a
+    # rebuilt 3x3 window (9 self-joins over the filled values — inner
+    # joins enforce the one-ring validity policy since flv has valid
+    # cells only), then the shared D8 graph text ({_graph} reads FROM
+    # win) and the upstream-count closure. drains CTE renamed drn (the
+    # graph text owns the name dr).
+    fill_accum = f"""
+        WITH RECURSIVE mk AS MATERIALIZED (
+            SELECT image_id, r, c, CAST(val AS DOUBLE) AS v
+            FROM {pixels} WHERE val <> {nd}
+        ),
+        holes AS (
+            SELECT DISTINCT m.image_id, m.r, m.c
+            FROM mk m JOIN {pixels} p
+              ON p.image_id = m.image_id
+             AND abs(p.r - m.r) <= 1 AND abs(p.c - m.c) <= 1
+             AND NOT (p.r = m.r AND p.c = m.c)
+             AND p.val = {nd}
+        ),
+        drn AS MATERIALIZED (
+            SELECT image_id, r, c FROM mk
+            WHERE r = 0 OR r = 31 OR c = 0 OR c = 31
+            UNION
+            SELECT image_id, r, c FROM holes
+        ),
+        sp AS (
+            SELECT m.image_id, m.r, m.c, m.v AS s
+            FROM drn d JOIN mk m
+              ON m.image_id = d.image_id AND m.r = d.r AND m.c = d.c
+            UNION
+            SELECT m.image_id, m.r, m.c, greatest(m.v, p.s) AS s
+            FROM sp p JOIN mk m
+              ON m.image_id = p.image_id
+             AND abs(m.r - p.r) <= 1 AND abs(m.c - p.c) <= 1
+             AND NOT (m.r = p.r AND m.c = p.c)
+        ),
+        flv AS MATERIALIZED (
+            SELECT image_id, r, c,
+                   CAST(CAST(min(s) AS FLOAT) AS DOUBLE) AS v
+            FROM sp GROUP BY image_id, r, c
+        ),
+        win AS (
+            SELECT e.image_id, e.r, e.c, geo.cellsize,
+                   nw.v AS a, nn.v AS b, ne.v AS cc,
+                   ww.v AS d, e.v AS ee, ee2.v AS f,
+                   sw.v AS g, ss.v AS h, se.v AS i2
+            FROM flv e
+            JOIN (SELECT image_id, cellsize FROM {images}) geo
+              USING (image_id)
+            JOIN flv nw  ON nw.image_id = e.image_id
+                            AND nw.r = e.r - 1 AND nw.c = e.c - 1
+            JOIN flv nn  ON nn.image_id = e.image_id
+                            AND nn.r = e.r - 1 AND nn.c = e.c
+            JOIN flv ne  ON ne.image_id = e.image_id
+                            AND ne.r = e.r - 1 AND ne.c = e.c + 1
+            JOIN flv ww  ON ww.image_id = e.image_id
+                            AND ww.r = e.r AND ww.c = e.c - 1
+            JOIN flv ee2 ON ee2.image_id = e.image_id
+                            AND ee2.r = e.r AND ee2.c = e.c + 1
+            JOIN flv sw  ON sw.image_id = e.image_id
+                            AND sw.r = e.r + 1 AND sw.c = e.c - 1
+            JOIN flv ss  ON ss.image_id = e.image_id
+                            AND ss.r = e.r + 1 AND ss.c = e.c
+            JOIN flv se  ON se.image_id = e.image_id
+                            AND se.r = e.r + 1 AND se.c = e.c + 1
+        ),
+        {_graph},
+        nacc AS (
+            SELECT image_id, vr AS r, vc AS c,
+                   CAST(count(*) AS BIGINT) AS acc
+            FROM reach GROUP BY image_id, vr, vc
+        )
+        SELECT d.image_id, CAST(d.r AS INT) AS r, CAST(d.c AS INT) AS c,
+               coalesce(nacc.acc, CAST(0 AS BIGINT)) AS acc
+        FROM dirs d LEFT JOIN nacc
+          ON nacc.image_id = d.image_id AND nacc.r = d.r AND nacc.c = d.c
     """
 
     # gdalinfo -hist: one sub + one div on identical operands, integer
@@ -3813,6 +3910,7 @@ def _corpus_oracles() -> dict[str, str]:
         "r_lake": lake_sql,
         "r_profile": profile_sql,
         "r_fill": fill_sql,
+        "r_fill_accum": fill_accum,
         "r_raster_hist": raster_hist,
         "r_raster_stats": raster_stats_sql,
         "r_proximity": proximity,
@@ -4031,7 +4129,7 @@ CONTRACT_ORDER = [
     "r_raster_hist", "r_raster_stats",
     # --- depression filling (r5): iterated band fixpoints; the band
     # --- machinery evidenced in-window by r_flow_accum/r_proximity ------
-    "r_fill",
+    "r_fill", "r_fill_accum",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
@@ -4093,6 +4191,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "r_lake": _r_lake,
             "r_profile": _r_profile,
             "r_fill": _r_fill,
+            "r_fill_accum": _r_fill_accum,
             "r_raster_hist": _r_raster_hist,
             "r_raster_stats": _r_raster_stats,
             "r_proximity": _r_proximity,

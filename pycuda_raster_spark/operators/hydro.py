@@ -1349,3 +1349,28 @@ def fill_sinks_tiles(
         F.transform("filled", lambda v: F.when(
             v == F.lit(inf).cast("float"), nd_lit).otherwise(v))
         .alias("filled"))
+
+
+def fill_flow_accum_tiles(
+    tiles: DataFrame,
+    nodata: float = NODATA,
+    fill_rounds: int = 64,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """The real watershed pipeline (GRASS r.watershed / ArcGIS
+    Fill->FlowDirection->FlowAccumulation): Planchon-Darboux depression
+    filling, D8 flow direction over the FILLED surface, then
+    accumulation. Raw DEMs dead-end in pits — this is the composition
+    hydrology users actually run. Halos for the filled surface are
+    re-attached with the slim `tiling.halo_exchange` edge-row join (the
+    engine's second halo strategy); everything downstream is the proven
+    machinery."""
+    from .focal import flow_dir_tiles
+    from .tiling import halo_exchange
+
+    filled = fill_sinks_tiles(tiles, nodata=nodata, max_rounds=fill_rounds)
+    fx = (filled.withColumnRenamed("filled", "px")
+          .withColumn("caption", F.lit(""))
+          .withColumn("psnr", F.lit(float("inf"))))
+    dirs = flow_dir_tiles(halo_exchange(fx))
+    return flow_accum_tiles(dirs, nodata=nodata, max_rounds=max_rounds)

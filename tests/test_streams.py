@@ -652,3 +652,23 @@ def test_cli_fill(spark, images_df, tmp_path):
     got = np.vstack([np.asarray(r.filled, np.float32).reshape(r.th, r.w)
                      for r in rows])
     np.testing.assert_array_equal(got, fill_sinks_grid(_decoded(0)))
+
+
+@pytest.mark.parametrize("tile_rows", [8, 13, 32])
+def test_fill_flow_accum_composition(spark, images_df, tile_rows):
+    """fill -> flow_dir -> accumulation tiled == the same composition of
+    whole-grid twins, bit-for-bit (the real watershed pipeline)."""
+    from pycuda_raster_spark.operators.hydro import (
+        fill_flow_accum_tiles,
+        fill_sinks_grid,
+        flow_accum_grid,
+    )
+
+    out = fill_flow_accum_tiles(decode_tiles(images_df,
+                                             tile_rows=tile_rows))
+    got = _collect(out, "flow_accum", np.float32)
+    for i in range(SPEC.n_images):
+        iid = f"img{i:06d}"
+        want = flow_accum_grid(flow_dir(fill_sinks_grid(_decoded(i))))
+        np.testing.assert_array_equal(got[iid], want,
+                                      err_msg=f"{iid} tr={tile_rows}")
