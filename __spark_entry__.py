@@ -4039,8 +4039,14 @@ CONTRACT_ORDER = [
     "q_quality_filter", "q_ivf_ann_join", "q_ivf_ann_trained",
     "r_flagship_zonal", "r_focal_slope",
     "r_focal_terrain", "r_viewshed",
-    "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_basins",
-    "r_proximity", "r_fillnodata",
+    # r_fill_accum (r5): the composed Fill -> FlowDir -> Accumulation
+    # pipeline enters the window; r_fillnodata demoted to the oracled
+    # overflow (its EDT machinery stays evidenced in-window by
+    # r_proximity — identical sweep, value tracking verified every
+    # round by tools/check_oracles.py)
+    "r_hillshade_md", "r_flow_dir", "r_flow_accum", "r_fill_accum",
+    "r_basins",
+    "r_proximity",
     "r_color_relief", "r_pip_join",
     "r_knn_join",
     "r_range_join", "r_phash_dedup", "r_rasterize",
@@ -4128,8 +4134,12 @@ CONTRACT_ORDER = [
     # --- evidenced in-window by q_histogram's row / r_focal_slope -------
     "r_raster_hist", "r_raster_stats",
     # --- depression filling (r5): iterated band fixpoints; the band
-    # --- machinery evidenced in-window by r_flow_accum/r_proximity ------
-    "r_fill", "r_fill_accum",
+    # --- machinery evidenced in-window by r_flow_accum/r_proximity, the
+    # --- composition by the in-window r_fill_accum ----------------------
+    "r_fill",
+    # --- r_fillnodata demoted from the window for r_fill_accum (EDT
+    # --- machinery evidenced in-window by r_proximity) ------------------
+    "r_fillnodata",
     # --- r_overviews (r5): pure composition of the in-window resample
     # --- numerics; oracled here, levels additionally pinned bit-for-bit
     # --- against direct resample + the NumPy twin in test_overviews.py --
