@@ -199,3 +199,42 @@ def test_scale_stretch_broadcasts_range_and_stays_jvm(spark):
     # inherently two-pass, so the decode stage appears once per pass.
     unpinned = plan_of(scale_tiles(decoded, pinned=False))
     assert unpinned.lower().count("mapinpandas") == 2
+
+
+def test_raster_histogram_aggregates_map_side(spark):
+    """The hist explode must feed a PARTIAL hash aggregate inside the
+    decode stage, so the shuffle carries (image, bin) rows — never
+    pixels: exactly one Exchange downstream of the single MapInPandas,
+    with a partial aggregate between them."""
+    from pycuda_raster_spark.operators.calc import raster_histogram
+    from pycuda_raster_spark.operators.decode import decode_tiles
+
+    out = raster_histogram(decode_tiles(images_df(spark, SPEC),
+                                        tile_rows=16))
+    plan = plan_of(out)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    # partial aggregate appears before (deeper than) the exchange
+    lines = final.splitlines()
+    agg_idx = [i for i, l in enumerate(lines) if "HashAggregate" in l]
+    ex_idx = [i for i, l in enumerate(lines) if "Exchange" in l]
+    assert agg_idx and ex_idx
+    # tree prints root-first: final agg < exchange < partial agg
+    assert min(agg_idx) < min(ex_idx) < max(agg_idx)
+    for marker in ("BatchEvalPython", "PythonUDF"):
+        assert marker not in final
+
+
+def test_profile_plan_is_broadcast_and_python_free_beyond_decode(spark):
+    """profile_tiles adds ZERO Python beyond the one decode stage and
+    broadcasts the step table onto the tiles."""
+    from pycuda_raster_spark.operators.decode import decode_tiles
+    from pycuda_raster_spark.operators.gridding import profile_tiles
+
+    out = profile_tiles(decode_tiles(images_df(spark, SPEC),
+                                     tile_rows=16), (2, 1), (29, 30))
+    plan = plan_of(out)
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("MapInPandas") == 1
+    assert "BroadcastExchange" in final or "Broadcast" in final
+    assert "BatchEvalPython" not in final
