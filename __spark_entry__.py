@@ -43,13 +43,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 _FANOUT = {"documents", "embeddings"}
 
 
+# view-registration memo: every query callable starts with _register, so a
+# bench/correctness run re-reads 10 parquet footers and re-creates 10 temp
+# views per query execution — pure driver-side latency repeated dozens of
+# times per session (guide §1.2: don't recompute what hasn't changed). The
+# views are lazy plans over the same files; re-registering the SAME sf_dir
+# in the SAME SparkSession is a no-op, so skip it. A different sf_dir (or a
+# new session) re-registers, preserving the original semantics.
+_REGISTERED: dict[str, str] = {}
+
+
 def _register(spark: SparkSession, sf_dir: str) -> None:
+    app = spark.sparkContext.applicationId
+    if _REGISTERED.get(app) == sf_dir:
+        return
     par = spark.sparkContext.defaultParallelism
     for t in TABLES:
         df = spark.read.parquet(f"{sf_dir}/{t}.parquet")
         if t in _FANOUT:
             df = df.repartition(par)
         df.createOrReplaceTempView(t)
+    _REGISTERED[app] = sf_dir
 
 
 # --------------------------------------------------------------------------

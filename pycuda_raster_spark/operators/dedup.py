@@ -172,13 +172,28 @@ def minhash_lsh_pairs(
     band_arr = F.array(*[
         F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
     ])
+    # Materialize (id, band keys, shingles) ONCE (guide §1.2/§2.4): the
+    # band self-join references the corpus twice and the verify attaches
+    # shingles twice more, so without this the full shingle + num_hashes-
+    # family minhash pipeline runs 2x and the shingle build 4x (measured
+    # r6: 4 parquet scans of documents in the physical plan). One eager
+    # localCheckpoint (the repo's leak-free persist — blocks are
+    # ContextCleaner-freed when the DF goes unreachable) computes the
+    # fingerprint pass once; everything downstream reads slim columns from
+    # the materialized rows. Same output bit-for-bit — only the number of
+    # times the fingerprints are computed changes.
+    base = m.select(
+        F.col(id_col).alias("id"), band_arr.alias("__bands"), "shingles"
+    ).localCheckpoint(eager=True)
     # SLIM band join: only (id, band, key) is exploded/shuffled — the heavy
     # shingle arrays stay out of the candidate join entirely and are joined
     # back exactly once per side for the verify. At corpus scale this is
     # the difference between shuffling bytes ~ O(bands * doc_size) and
-    # O(candidate_pairs).
-    e = m.select(
-        F.col(id_col).alias("id"), F.posexplode(band_arr).alias("band", "key")
+    # O(candidate_pairs). (A second checkpoint of the exploded key table
+    # was measured a wash — the extra eager job cancels the slimmer
+    # self-join scans — so both join sides read `base` directly.)
+    e = base.select(
+        "id", F.posexplode("__bands").alias("band", "key")
     )
     a, b = e.alias("a"), e.alias("b")
     cand = (
@@ -191,7 +206,7 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh = m.select(F.col(id_col).alias("__sid"), F.col("shingles"))
+    sh = base.select(F.col("id").alias("__sid"), F.col("shingles"))
     cand = (
         cand.join(sh.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"}), "id_b")
@@ -244,8 +259,15 @@ def ngram_jaccard_pairs(
     band_arr = F.array(*[
         F.hash(F.slice(F.col("minhash"), b * rows + 1, rows)) for b in range(bands)
     ])
-    e = base.withColumn("minhash", mh).select(
-        "id", F.posexplode(band_arr).alias("band", "key")
+    # one materialized fingerprint pass, same rationale as minhash_lsh_pairs
+    # (the char-shingle build + num_hashes-family minhash otherwise runs
+    # once per plan reference: 2x for the band join + 2x shingle builds
+    # for the verify)
+    base = base.withColumn("minhash", mh).select(
+        "id", band_arr.alias("__bands"), "shingles"
+    ).localCheckpoint(eager=True)
+    e = base.select(
+        "id", F.posexplode("__bands").alias("band", "key")
     )
     a, b = e.alias("a"), e.alias("b")
     cand = (
@@ -259,6 +281,8 @@ def ngram_jaccard_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     sh2 = base.select(F.col("id").alias("__sid"), "shingles")
+    # (base is the checkpointed fingerprint table — both attach joins and
+    # the band join above read the materialized rows, not the raw corpus)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
         cand.join(sh2.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")

@@ -280,7 +280,7 @@ def _accum_generic(
     rounds = 0
     while True:
         pending = pending.localCheckpoint(eager=True)
-        if pending.rdd.isEmpty():
+        if pending.isEmpty():
             break
         rounds += 1
         if rounds > max_rounds:
@@ -1011,7 +1011,7 @@ def basins_tiles(
     rounds = 0
     while True:
         pending = pending.localCheckpoint(eager=True)
-        if pending.rdd.isEmpty():
+        if pending.isEmpty():
             break
         rounds += 1
         if rounds > max_rounds:

@@ -467,10 +467,16 @@ def cosine_pairs(
 
     # SLIM band join: only (id, band, key) is exploded/shuffled; vectors
     # join back exactly once per side for the verify (same rationale as
-    # minhash_lsh_pairs — shuffle O(candidates), not O(bands * vec_size))
-    e = slim.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(band_keys(F.col(vec_col))).alias("band", "key"),
+    # minhash_lsh_pairs — shuffle O(candidates), not O(bands * vec_size)).
+    # The (id, band keys) table is materialized ONCE (eager localCheckpoint,
+    # the leak-free persist): the self-join references it twice, and without
+    # the checkpoint the band_keys pandas-UDF stage (scan -> Python matmul)
+    # runs once per side (guide §2.4 — don't recompute a shared subtree).
+    keyed = slim.select(
+        F.col(id_col).alias("id"), band_keys(F.col(vec_col)).alias("__bands")
+    ).localCheckpoint(eager=True)
+    e = keyed.select(
+        "id", F.posexplode("__bands").alias("band", "key")
     )
     ea, eb = e.alias("ea"), e.alias("eb")
     cand = (

@@ -56,6 +56,24 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # scan-parallelism floor (guide §6 / §2.2): Spark sizes file splits
+        # as max(openCost, totalBytes/minPartitionNum) capped at
+        # maxPartitionBytes — setting the floor to the session's core count
+        # makes split sizing SCALE-ADAPTIVE (small inputs split per-core;
+        # at 100 TB totalBytes/cores >> 128 MB so the default cap rules and
+        # behavior is unchanged). Without it a 130 MB table scans as one or
+        # two tasks on a 32-core session. Parameterised by cores, not a
+        # constant.
+        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # join strategy (guide §3.1): allow the planner to pick shuffled-
+        # hash over sort-merge when one side is provably small per
+        # partition (skips two full sorts); AQE additionally rewrites
+        # SMJ->SHJ at runtime when every post-shuffle partition is under
+        # the local-map threshold. Both are size-gated, so at cluster
+        # scale oversized builds still fall back to sort-merge.
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                "64m")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(ARROW_BATCH_ROWS))
