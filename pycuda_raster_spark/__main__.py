@@ -564,6 +564,11 @@ def _run_regridded(spark, images, pairs, products, tile_rows, regrid, label):
     tiles = regrid(decode_tiles(images, tile_rows=tile_rows)) \
         .withColumn("caption", F.lit(None).cast("string")) \
         .withColumn("psnr", F.lit(float("inf")))
+    # materialize the regridded tiles once BEFORE the halo join:
+    # halo_exchange references its input three times (payload + two edge
+    # projections), so without this the decode+regrid pipeline ran 3x
+    # inside the .cache() materialization below (r6 audit)
+    tiles = tiles.localCheckpoint(eager=True)
     tiles = halo_exchange(tiles).cache()
     keep = ["image_id", "tile_y", "ty0", "th", "w", "h", "cellsize", "x0",
             "y0", "crs"]

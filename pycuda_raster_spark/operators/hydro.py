@@ -550,8 +550,10 @@ def strahler_tiles(
     max(order) times — bounded by log of basin size in practice (a
     Strahler order above ~12 does not occur on Earth-scale DEMs), each
     level touching pixels in exactly three Python passes with only slim
-    band-edge tables shuffling. Output: ``strahler array<bigint>``
-    (-1 at dir-NODATA cells)."""
+    band-edge tables shuffling. COST BOUND: max(order) = K full two-pass
+    accumulations, i.e. ~K x the cost of ``flow_accum_tiles`` (K <= ~12 on
+    real DEMs); per-level localCheckpoints keep the plan constant. Output:
+    ``strahler array<bigint>`` (-1 at dir-NODATA cells)."""
     tiles = dir_tiles.select(*_GEO, dir_col).withColumnRenamed(
         dir_col, "__dir")
     if pinned:
@@ -1202,8 +1204,11 @@ def fill_sinks_tiles(
     applies a fair update order, so the loop converges to the same
     greatest fixpoint as the whole-grid iteration (chaotic iteration on
     a monotone operator); rounds are bounded by cross-band spill
-    alternations (tall tiles at scale: document the zigzag worst case).
-    Convergence is detected with one driver-side SUM per round."""
+    alternations — a valley zigzagging across band boundaries pays one
+    round per crossing, so the mitigation at scale is TALLER tile_rows
+    (fewer bands per image -> fewer crossings), which is also what the
+    ``max_rounds`` guard message should prompt. Convergence is detected
+    with one driver-side SUM per round."""
     nd = float(nodata)
     inf = float("inf")
     state = tiles.select(*_GEO, F.col(value_col).alias("__dem"),

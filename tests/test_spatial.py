@@ -136,7 +136,12 @@ def test_knn_hot_cell_splits_under_aqe_and_stays_exact(spark):
     finally:
         for k, v in saved.items():
             conf.unset(k) if v is None else conf.set(k, v)
-    assert "SortMergeJoin(skew=true)" in plan, plan[:2000]
+    # the invariant is the MECHANISM — AQE split the hot cell's partition
+    # (skew=true) — not the join flavor: since r6 the session allows
+    # shuffled-hash joins (preferSortMergeJoin=false), and AQE skew
+    # handling covers both SMJ and SHJ
+    assert ("SortMergeJoin(skew=true)" in plan
+            or "ShuffledHashJoin(skew=true" in plan), plan[:2000]
 
     # brute-force golden (dist asc, site_id asc tie-break)
     d = np.hypot(qxy[:, None, 0] - sxy[None, :, 0],
