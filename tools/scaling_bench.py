@@ -36,6 +36,9 @@ import statistics
 import subprocess
 import sys
 
+LSH_REP = 20      # sf0.1 docs/embeddings replication factor for the LSH/ANN
+                  # workload (2M-doc-ish corpus); passed to the child as
+                  # argv[6]
 PROBE_MIN = 550   # 1T matmul/2s; healthy host measures ~800-1000
 MT8_MIN = 1200    # 8-thread aggregate matmul/2s; healthy ~4000-6000. The 1T
                   # gate is blind to the host mode where per-thread speed is
@@ -118,7 +121,10 @@ zonal_stats_from_partials(
 from pycuda_raster_spark.operators.dedup import minhash_lsh_pairs
 from pycuda_raster_spark.operators.similarity import ivf_assign, ivf_topk, seeded_centroids
 from pyspark.sql import functions as F
-rep = int(sys.argv[5]) if len(sys.argv) > 5 else 20
+# rep is argv[6] — argv[5] is mt8_min (the r4 dual-gate arg; reading rep
+# from argv[5] silently replicated the LSH corpus 1200x on the first
+# gate-open launch in r6 — caught and fixed before any numbers shipped)
+rep = int(sys.argv[6]) if len(sys.argv) > 6 else 20
 docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
 docs = spark.range(rep).crossJoin(docs).select(
     (F.col("doc_id") + F.col("id") * 1_000_000).alias("doc_id"), "text"
@@ -164,7 +170,7 @@ print(json.dumps({"cores": cores, "sec": round(w, 2), "lsh_sec": round(w_lsh, 2)
 def run_once(cores: int, n_images: int, edge: int) -> dict:
     out = subprocess.run(
         [sys.executable, "-c", CHILD, str(cores), str(n_images), str(edge),
-         str(PROBE_MIN), str(MT8_MIN)],
+         str(PROBE_MIN), str(MT8_MIN), str(LSH_REP)],
         capture_output=True, text=True, timeout=5400,
     )
     lines = [l for l in out.stdout.strip().splitlines() if l.startswith("{")]
